@@ -1,0 +1,26 @@
+"""Test harness: force CPU with 8 virtual devices so multi-chip sharding
+paths are exercised without TPU hardware (the pattern the reference lacked —
+SURVEY.md §4 'multi-node testing: N/A').
+
+Note: this image registers a TPU PJRT plugin from sitecustomize.py at
+interpreter startup, so JAX is already imported when pytest starts; we must
+switch platforms via jax.config, not env vars."""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(42)
