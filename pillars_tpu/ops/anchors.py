@@ -1,0 +1,132 @@
+"""Static anchor generation + the summed-area-table anchors mask.
+
+The reference REGENERATES all 10 240 anchors per sample per step on the host
+(reference load_data.py:3029-3037 calling generate_anchors) — pure waste:
+anchors depend only on the config. Here they are computed once at setup
+(NumPy) and baked into the jitted graph as constants.
+
+The anchors mask (prune anchors over empty BEV regions,
+reference load_data.py:3050-3072) becomes a fully jitted computation:
+scatter pillar counts to the BEV grid, two cumulative sums (the summed-area
+table), then 4 gathers at PRECOMPUTED integer anchor corners.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pillars_tpu.config import ModelConfig
+from pillars_tpu.geometry import np_boxes as nb
+
+
+class AnchorSet(NamedTuple):
+    """Static per-config anchor data (host NumPy, becomes jit constants)."""
+
+    anchors: np.ndarray            # [A, 7] (x, y, z, w, l, h, r)
+    matched_thresholds: np.ndarray  # [A]
+    unmatched_thresholds: np.ndarray  # [A]
+    sat_corners: np.ndarray        # [A, 4] int32 (x0, y0, x1, y1) clipped
+    standup_bv: np.ndarray         # [A, 4] nearest-axis-aligned BEV boxes
+
+
+def create_anchors_3d_stride(feature_size, sizes, strides, offsets, rotations,
+                             dtype=np.float32) -> np.ndarray:
+    """Dense stride-based anchors, [*feature_size, num_size, num_rot, 7].
+
+    reference load_data.py:1598-1638 (create_anchors_3d_stride); the output
+    is transposed so that reshape(-1, 7) yields the same anchor ordering as
+    the reference (y-major over the feature map, then x, then size, then
+    rotation)."""
+    strides = list(strides)
+    offsets = list(offsets)
+    x_stride, y_stride, z_stride = strides
+    x_offset, y_offset, z_offset = offsets
+    z_centers = np.arange(feature_size[0], dtype=dtype) * z_stride + z_offset
+    y_centers = np.arange(feature_size[1], dtype=dtype) * y_stride + y_offset
+    x_centers = np.arange(feature_size[2], dtype=dtype) * x_stride + x_offset
+    sizes = np.reshape(np.array(sizes, dtype=dtype), [-1, 3])
+    rotations = np.array(rotations, dtype=dtype)
+    rets = list(np.meshgrid(x_centers, y_centers, z_centers, rotations, indexing="ij"))
+    tile_shape = [1] * 5
+    tile_shape[-2] = int(sizes.shape[0])
+    for i in range(len(rets)):
+        rets[i] = np.tile(rets[i][..., np.newaxis, :], tile_shape)
+        rets[i] = rets[i][..., np.newaxis]
+    sizes = np.reshape(sizes, [1, 1, 1, -1, 1, 3])
+    tile_size_shape = list(rets[0].shape)
+    tile_size_shape[3] = 1
+    sizes = np.tile(sizes, tile_size_shape)
+    rets.insert(3, sizes)
+    ret = np.concatenate(rets, axis=-1)
+    return np.transpose(ret, [2, 1, 0, 3, 4, 5])
+
+
+def build_anchors(cfg: ModelConfig) -> AnchorSet:
+    """All static anchor data for a model config.
+
+    reference load_data.py:1641-1685 (generate_anchors) +
+    the static halves of load_data.py:3040-3072."""
+    a = cfg.target.anchor
+    feature_map_size = list(cfg.feature_map_size)  # [1, ny, nx]
+    anchors = create_anchors_3d_stride(
+        feature_map_size, a.sizes, a.strides, a.offsets, a.rotations)
+    anchors = anchors.reshape([-1, 7]).astype(np.float32)
+    num = anchors.shape[0]
+    matched = np.full([num], a.matched_threshold, np.float32)
+    unmatched = np.full([num], a.unmatched_threshold, np.float32)
+
+    standup_bv = nb.rbbox2d_to_near_bbox(anchors[:, [0, 1, 3, 4, 6]])
+
+    # integer SAT lookup corners (reference load_data.py:558-585,
+    # fused_get_anchors_area): floor((bv - offset)/stride), clipped.
+    voxel_size = np.asarray(cfg.voxel.voxel_size, np.float32)
+    pcr = np.asarray(cfg.voxel.point_cloud_range, np.float32)
+    grid = np.asarray(cfg.voxel.grid_size, np.int64)
+    coor = np.zeros((num, 4), dtype=np.int32)
+    coor[:, 0] = np.floor((standup_bv[:, 0] - pcr[0]) / voxel_size[0])
+    coor[:, 1] = np.floor((standup_bv[:, 1] - pcr[1]) / voxel_size[1])
+    coor[:, 2] = np.floor((standup_bv[:, 2] - pcr[0]) / voxel_size[0])
+    coor[:, 3] = np.floor((standup_bv[:, 3] - pcr[1]) / voxel_size[1])
+    coor[:, 0] = np.clip(coor[:, 0], 0, None)
+    coor[:, 1] = np.clip(coor[:, 1], 0, None)
+    coor[:, 2] = np.clip(coor[:, 2], None, grid[0] - 1)
+    coor[:, 3] = np.clip(coor[:, 3], None, grid[1] - 1)
+    return AnchorSet(anchors, matched, unmatched, coor, standup_bv)
+
+
+def anchors_mask(coords: jax.Array, pillar_mask: jax.Array,
+                 sat_corners: np.ndarray, ny: int, nx: int,
+                 area_threshold: float) -> jax.Array:
+    """[P, 3] pillar coords -> [A] bool anchor mask, fully on device.
+
+    reference load_data.py:3050-3072: per-(y, x) pillar count (summed over
+    z-layers) -> 2D cumsum -> summed-area-table area per anchor standup box
+    -> mask = area > threshold."""
+    y = coords[:, 1]
+    x = coords[:, 2]
+    flat = jnp.where(pillar_mask, y * nx + x, ny * nx)
+    dense = jnp.zeros((ny * nx,), dtype=jnp.float32)
+    dense = dense.at[flat].add(pillar_mask.astype(jnp.float32), mode="drop")
+    dense = dense.reshape(ny, nx)
+    sat = jnp.cumsum(jnp.cumsum(dense, axis=0), axis=1)
+
+    x0 = sat_corners[:, 0]
+    y0 = sat_corners[:, 1]
+    x1 = sat_corners[:, 2]
+    y1 = sat_corners[:, 3]
+    ID = sat[y1, x1]
+    IA = sat[y0, x0]
+    IB = sat[y1, x0]
+    IC = sat[y0, x1]
+    area = ID - IB - IC + IA
+    return area > area_threshold
+
+
+def anchors_mask_batched(coords, pillar_mask, sat_corners, ny, nx, thr):
+    return jax.vmap(
+        lambda c, m: anchors_mask(c, m, sat_corners, ny, nx, thr))(
+            coords, pillar_mask)

@@ -1,0 +1,88 @@
+"""Jittable anchor target assignment.
+
+The reference assigns targets on the HOST, per sample, inside the data
+pipeline (create_target_np, reference load_data.py:331-532), with numpy
+fancy indexing. TPU-native design: the assignment is a fixed-shape
+vectorized computation over [A] anchors x [G] padded gt boxes that runs
+INSIDE the jitted train step — the pipeline only ships padded gt boxes.
+
+Semantics replicated exactly from the reference (positive_fraction=None
+branch):
+  1. similarity = axis-aligned IoU of nearest-standup boxes
+     (nearest_iou_similarity, reference load_data.py:239-262),
+  2. force-match: every anchor that ties the per-gt max overlap is positive
+     (including ties; gt with zero max overlap are dropped),
+  3. positives: row max >= matched_threshold,
+  4. background: row max < unmatched_threshold,
+  5. priority: force > background > positive > don't-care(-1)
+     (bg overwrites force-matched lows, then force is re-enabled —
+     reference load_data.py:468-473),
+  6. anchors outside the anchors-mask are pruned, i.e. label -1 / weight 0
+     (the unmap fill, reference load_data.py:506-512).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pillars_tpu.geometry import boxes as gb
+
+
+class TargetAssignment(NamedTuple):
+    labels: jax.Array       # [A] int32: -1 don't care, 0 bg, >0 class id
+    bbox_targets: jax.Array  # [A, 7] encoded residuals (0 for non-positive)
+    reg_weights: jax.Array  # [A] float32: 1.0 for positives
+
+
+def assign_targets(anchors_standup: jax.Array, anchors: jax.Array,
+                   gt_boxes: jax.Array, gt_classes: jax.Array,
+                   gt_valid: jax.Array, anchors_mask: jax.Array,
+                   matched_threshold: jax.Array,
+                   unmatched_threshold: jax.Array) -> TargetAssignment:
+    """One sample: [A,4]/[A,7] static anchors vs [G,7] padded gt boxes."""
+    num_anchors = anchors.shape[0]
+
+    gt_standup = gb.rbbox2d_to_near_bbox(gt_boxes[:, [0, 1, 3, 4, 6]])
+    overlap = gb.iou_matrix(anchors_standup, gt_standup)  # [A, G] >= 0
+    participate = anchors_mask[:, None] & gt_valid[None, :]
+    overlap = jnp.where(participate, overlap, -1.0)
+
+    anchor_to_gt_argmax = jnp.argmax(overlap, axis=1)            # [A]
+    anchor_to_gt_max = jnp.max(overlap, axis=1)                  # [A]
+    gt_to_anchor_max = jnp.max(overlap, axis=0)                  # [G]
+    # gt that match no anchor are removed (reference load_data.py:441-443)
+    gt_to_anchor_max = jnp.where(gt_to_anchor_max == 0.0, -1.0, gt_to_anchor_max)
+    gt_to_anchor_max = jnp.where(gt_valid, gt_to_anchor_max, -10.0)
+
+    # force-match including ties; the >= 0 guard keeps pruned (-1) entries out
+    force = jnp.any(
+        (overlap == gt_to_anchor_max[None, :]) & (overlap >= 0.0), axis=1)
+
+    pos = anchor_to_gt_max >= matched_threshold
+    bg = (anchor_to_gt_max < unmatched_threshold) & anchors_mask
+
+    matched_cls = gt_classes[anchor_to_gt_argmax]                # [A]
+    labels = jnp.full((num_anchors,), -1, dtype=jnp.int32)
+    labels = jnp.where(pos, matched_cls, labels)
+    labels = jnp.where(bg, 0, labels)
+    labels = jnp.where(force, matched_cls, labels)
+
+    fg = labels > 0
+    matched_boxes = gt_boxes[anchor_to_gt_argmax]                # [A, 7]
+    encoded = gb.second_box_encode(matched_boxes, anchors)
+    bbox_targets = jnp.where(fg[:, None], encoded, 0.0)
+    reg_weights = fg.astype(jnp.float32)
+    return TargetAssignment(labels, bbox_targets, reg_weights)
+
+
+def assign_targets_batched(anchors_standup, anchors, gt_boxes, gt_classes,
+                           gt_valid, anchors_mask, matched_threshold,
+                           unmatched_threshold):
+    """vmap over the batch: gt_boxes [B,G,7], anchors_mask [B,A] ..."""
+    fn = lambda gtb, gtc, gtv, am: assign_targets(
+        anchors_standup, anchors, gtb, gtc, gtv, am,
+        matched_threshold, unmatched_threshold)
+    return jax.vmap(fn)(gt_boxes, gt_classes, gt_valid, anchors_mask)

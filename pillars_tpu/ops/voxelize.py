@@ -1,0 +1,171 @@
+"""Pillar voxelization as a single jitted, static-shape XLA computation.
+
+The reference voxelizes on the host with a sequential numba kernel
+(_points_to_voxel_reverse_kernel, reference load_data.py:593-692): one pass
+over the points, a dense (z,y,x)->pillar hash, first-come-first-kept capping
+at ``max_points`` per pillar and ``max_voxels`` pillars.
+
+TPU-native design: sort-by-cell + segment arithmetic. A stable sort groups
+points by cell while PRESERVING INPUT ORDER within each cell, so the
+"first N points in input order are kept" semantics of the reference survive
+exactly. Pillar ordering differs (ascending cell id instead of first-arrival
+order) — irrelevant downstream, because the PFN is per-pillar and the canvas
+scatter is order-invariant. The only observable divergence is WHICH pillars
+are dropped when a cloud produces more than ``max_voxels`` distinct cells;
+with the shipped config that cannot happen (80*64*2 = 10240 cells < 12000
+max_voxels).
+
+Quirk preserved: the shipped config has TWO z-layers (z extent 6.0 m /
+voxel_z 4.0 m -> np.round(1.5) == 2, reference load_data.py:2595), so two
+pillars can exist at the same (y, x) with different z. The reference's
+tf.scatter_nd then ADDS their features on the canvas; see ops/scatter.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pillars_tpu.config import VoxelConfig
+
+
+class VoxelizedSample(NamedTuple):
+    """Static-shape voxelization result for ONE pointcloud.
+
+    voxels:      [P, N, D] points gathered per pillar (zero padded)
+    num_points:  [P] int32, points per pillar (capped at N)
+    coords:      [P, 3] int32 (z, y, x) grid coordinates, zeros for padding
+    pillar_mask: [P] bool, True for real pillars
+    """
+
+    voxels: jax.Array
+    num_points: jax.Array
+    coords: jax.Array
+    pillar_mask: jax.Array
+
+
+def voxelize(points: jax.Array, num_valid: jax.Array, *,
+             voxel_size, point_cloud_range, grid_size,
+             max_points_per_voxel: int, max_voxels: int) -> VoxelizedSample:
+    """Voxelize one padded pointcloud [MAXPTS, D] (D >= 3) on device.
+
+    ``num_valid`` is the count of real points at the FRONT of the array;
+    everything at or past that index is padding.
+    """
+    maxpts, dim = points.shape
+    vs = jnp.asarray(voxel_size, dtype=points.dtype)
+    pcr = jnp.asarray(point_cloud_range, dtype=points.dtype)
+    nx, ny, nz = (int(g) for g in grid_size)
+    n_cells = nx * ny * nz
+    P = int(max_voxels)
+    N = int(max_points_per_voxel)
+
+    idx = jnp.arange(maxpts, dtype=jnp.int32)
+    in_count = idx < num_valid
+
+    # per-dim cell coordinate, float32 math like the reference kernel
+    c = jnp.floor((points[:, :3] - pcr[:3]) / vs).astype(jnp.int32)
+    gs = jnp.asarray([nx, ny, nz], dtype=jnp.int32)
+    in_range = jnp.all((c >= 0) & (c < gs), axis=-1)
+    valid = in_count & in_range
+
+    # linear cell id in (z, y, x) order; invalid points get a sentinel cell
+    cell = (c[:, 2] * ny + c[:, 1]) * nx + c[:, 0]
+    cell = jnp.where(valid, cell, n_cells)
+
+    # stable sort keeps input order within each cell -> first-kept semantics
+    order = jnp.argsort(cell, stable=True)
+    cell_s = cell[order]
+    valid_s = valid[order]
+    points_s = points[order]
+
+    prev = jnp.concatenate([jnp.full((1,), -1, cell_s.dtype), cell_s[:-1]])
+    is_start = cell_s != prev
+    pillar_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1  # per sorted point
+    seg_start = jax.lax.cummax(jnp.where(is_start, idx, 0))
+    rank = idx - seg_start
+
+    keep = valid_s & (rank < N) & (pillar_id < P)
+    pid = jnp.where(keep, pillar_id, P)  # OOB -> dropped by scatter
+    rnk = jnp.where(keep, rank, N)
+
+    voxels = jnp.zeros((P, N, dim), dtype=points.dtype)
+    voxels = voxels.at[pid, rnk].set(points_s, mode="drop")
+
+    num_points = jnp.zeros((P,), dtype=jnp.int32)
+    num_points = num_points.at[pid].add(keep.astype(jnp.int32), mode="drop")
+
+    # decompose cell ids back to (z, y, x) at segment starts
+    z = cell_s // (ny * nx)
+    rem = cell_s - z * (ny * nx)
+    y = rem // nx
+    x = rem - y * nx
+    zyx = jnp.stack([z, y, x], axis=-1).astype(jnp.int32)
+    start_keep = is_start & valid_s & (pillar_id < P)
+    spid = jnp.where(start_keep, pillar_id, P)
+    coords = jnp.zeros((P, 3), dtype=jnp.int32)
+    coords = coords.at[spid].set(zyx, mode="drop")
+
+    pillar_mask = num_points > 0
+    return VoxelizedSample(voxels, num_points, coords, pillar_mask)
+
+
+def make_voxelizer(cfg: VoxelConfig):
+    """Bind the static config; returns ``fn(points, num_valid)`` ready for
+    jit/vmap (batch axis via vmap: points [B, MAXPTS, D], num_valid [B])."""
+    return functools.partial(
+        voxelize,
+        voxel_size=np.asarray(cfg.voxel_size, np.float32),
+        point_cloud_range=np.asarray(cfg.point_cloud_range, np.float32),
+        grid_size=cfg.grid_size,
+        max_points_per_voxel=cfg.max_points_per_voxel,
+        max_voxels=cfg.max_voxels,
+    )
+
+
+# ---------------------------------------------------------------------------
+# host twin (NumPy, loop-based) — the parity oracle for tests. Mirrors the
+# reference numba kernel exactly, including pillar arrival order.
+# ---------------------------------------------------------------------------
+
+def voxelize_np(points: np.ndarray, voxel_size, point_cloud_range,
+                max_points_per_voxel: int, max_voxels: int):
+    """reference load_data.py:593-692 semantics (reverse_index=True)."""
+    vs = np.asarray(voxel_size, dtype=points.dtype)
+    pcr = np.asarray(point_cloud_range, dtype=points.dtype)
+    grid = np.round((pcr[3:] - pcr[:3]) / vs).astype(np.int32)
+    nx, ny, nz = int(grid[0]), int(grid[1]), int(grid[2])
+    coor_to_voxelidx = -np.ones((nz, ny, nx), dtype=np.int32)
+    voxels = np.zeros((max_voxels, max_points_per_voxel, points.shape[-1]),
+                      dtype=points.dtype)
+    coors = np.zeros((max_voxels, 3), dtype=np.int32)
+    num_points = np.zeros((max_voxels,), dtype=np.int32)
+    voxel_num = 0
+    for i in range(points.shape[0]):
+        coor = np.zeros(3, dtype=np.int32)
+        failed = False
+        for j in range(3):
+            cj = int(np.floor((points[i, j] - pcr[j]) / vs[j]))
+            if cj < 0 or cj >= grid[j]:
+                failed = True
+                break
+            coor[2 - j] = cj
+        if failed:
+            continue
+        voxelidx = coor_to_voxelidx[coor[0], coor[1], coor[2]]
+        if voxelidx == -1:
+            voxelidx = voxel_num
+            if voxel_num >= max_voxels:
+                break
+            voxel_num += 1
+            coor_to_voxelidx[coor[0], coor[1], coor[2]] = voxelidx
+            coors[voxelidx] = coor
+        num = num_points[voxelidx]
+        if num < max_points_per_voxel:
+            voxels[voxelidx, num] = points[i]
+            num_points[voxelidx] += 1
+    return voxels[:voxel_num], coors[:voxel_num], num_points[:voxel_num]
