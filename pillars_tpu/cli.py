@@ -1,0 +1,176 @@
+"""Command-line interface.
+
+Replaces the reference's two fire entry points (reference train.py:936-937,
+create_data.py:553-554) with one CLI:
+
+    pillars-tpu train  --config cfg.yaml [--set key=value ...]
+    pillars-tpu evaluate --config cfg.yaml --checkpoint weights.pkl
+    pillars-tpu create-data --root DATASET --num-train N [--num-test M]
+    pillars-tpu synth-data --root DIR ...
+    pillars-tpu stream --config cfg.yaml --checkpoint weights.pkl --hz 120
+    pillars-tpu bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+
+def _load_config(args) -> "Config":
+    from pillars_tpu.config import Config
+
+    cfg = Config.from_yaml(args.config) if args.config else Config.default()
+    if getattr(args, "set", None):
+        cfg = cfg.overrides(args.set)
+    return cfg
+
+
+def cmd_train(args):
+    from pillars_tpu.train.trainer import Trainer
+
+    cfg = _load_config(args)
+    trainer = Trainer(cfg, use_wandb=args.wandb)
+    best = trainer.train(epochs=args.epochs,
+                         eval_max_samples=args.eval_max_samples)
+    print(f"best eval score: {best:.2f}")
+
+
+def cmd_evaluate(args):
+    import jax
+
+    from pillars_tpu.models.detector import PillarsDetector
+    from pillars_tpu.train import checkpoint as ckpt
+    from pillars_tpu.train.trainer import Evaluator
+
+    cfg = _load_config(args)
+    det = PillarsDetector(cfg)
+    if args.checkpoint:
+        params, batch_stats = ckpt.load_params(args.checkpoint)
+        variables = {"params": params, "batch_stats": batch_stats or {}}
+    else:
+        print("[evaluate] no checkpoint given - random init", file=sys.stderr)
+        variables = det.init(jax.random.PRNGKey(0), batch_size=1)
+    ev = Evaluator(cfg, det, measure_time=cfg.runtime.measure_time)
+    result, bev, d3, aos, score = ev.evaluate(
+        variables, max_samples=args.max_samples)
+    print(result)
+    print(f"aggregate score: {score:.2f}")
+
+
+def cmd_create_data(args):
+    from pillars_tpu.data import kitti_infos as ki
+
+    ids = list(range(args.num_train))
+    info_path = ki.create_info_file(args.root, ids, training=True)
+    print(f"info file: {info_path}")
+    db = ki.create_groundtruth_database(
+        args.root, used_classes=args.classes or ["Pedestrian"])
+    print(f"gt database: {db}")
+    if args.num_test:
+        import pickle
+
+        infos = ki.get_image_infos(args.root, list(range(args.num_test)),
+                                   training=False)
+        ki.calculate_num_points_in_gt(args.root, infos)
+        out = f"{args.root}/kitti_infos_val.pkl"
+        with open(out, "wb") as f:
+            pickle.dump(infos, f, 2)
+        print(f"val info file: {out}")
+
+
+def cmd_synth_data(args):
+    from pillars_tpu.data import synthetic
+
+    root = synthetic.generate_dataset(
+        args.root, num_train=args.num_train, num_test=args.num_test,
+        seed=args.seed)
+    print(f"synthetic dataset at {root}")
+
+
+def cmd_stream(args):
+    import jax
+
+    from pillars_tpu.data.stream import run_stream
+    from pillars_tpu.models.detector import PillarsDetector
+    from pillars_tpu.train import checkpoint as ckpt
+
+    cfg = _load_config(args)
+    det = PillarsDetector(cfg)
+    if args.checkpoint:
+        params, batch_stats = ckpt.load_params(args.checkpoint)
+        variables = {"params": params, "batch_stats": batch_stats or {}}
+    else:
+        variables = det.init(jax.random.PRNGKey(0), batch_size=1)
+    stats = run_stream(cfg, det, variables, hz=args.hz,
+                       duration_s=args.duration,
+                       source=args.source)
+    print(json.dumps(stats))
+
+
+def cmd_bench(args):
+    import runpy
+
+    runpy.run_path("bench.py", run_name="__main__")
+
+
+def main(argv: Optional[List[str]] = None):
+    p = argparse.ArgumentParser(prog="pillars-tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--config", default=None,
+                        help="YAML config (native or reference train.yaml)")
+        sp.add_argument("--set", nargs="*", default=[],
+                        help="dotted-path overrides key=value")
+
+    sp = sub.add_parser("train", help="train the detector")
+    common(sp)
+    sp.add_argument("--epochs", type=int, default=None)
+    sp.add_argument("--eval-max-samples", type=int, default=None)
+    sp.add_argument("--wandb", action="store_true")
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("evaluate", help="offline KITTI AP evaluation")
+    common(sp)
+    sp.add_argument("--checkpoint", default=None)
+    sp.add_argument("--max-samples", type=int, default=None)
+    sp.set_defaults(fn=cmd_evaluate)
+
+    sp = sub.add_parser("create-data",
+                        help="build info files + gt database from a dataset")
+    sp.add_argument("--root", required=True)
+    sp.add_argument("--num-train", type=int, required=True)
+    sp.add_argument("--num-test", type=int, default=0)
+    sp.add_argument("--classes", nargs="*", default=None)
+    sp.set_defaults(fn=cmd_create_data)
+
+    sp = sub.add_parser("synth-data", help="generate a synthetic dataset")
+    sp.add_argument("--root", required=True)
+    sp.add_argument("--num-train", type=int, default=32)
+    sp.add_argument("--num-test", type=int, default=8)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=cmd_synth_data)
+
+    sp = sub.add_parser("stream", help="streaming inference (replay/live)")
+    common(sp)
+    sp.add_argument("--checkpoint", default=None)
+    sp.add_argument("--hz", type=float, default=120.0)
+    sp.add_argument("--duration", type=float, default=5.0)
+    sp.add_argument("--source", default="synthetic",
+                    help="synthetic | replay:<dataset_root>")
+    sp.set_defaults(fn=cmd_stream)
+
+    sp = sub.add_parser("bench", help="run the headline benchmark")
+    sp.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

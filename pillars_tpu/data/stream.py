@@ -1,0 +1,182 @@
+"""Streaming (production-mode) inference: sensor -> mailbox -> jitted graph.
+
+The reference's production mode wires a ROS subscriber to the data generator
+through an UNSYNCHRONIZED attribute (production_pc written by the ROS thread,
+read by the generator; its 'new frame' flag is never cleared — SURVEY §5.2,
+reference load_data.py:2125-2127, :2244-2246). Here the handoff is an
+explicit single-slot latest-frame MAILBOX with a lock and a sequence number:
+the consumer always gets the newest frame, skipped frames are counted, and
+the race is gone.
+
+Sources: an emulated d435i at a fixed rate (synthetic scenes or dataset
+replay) — the ROS adapter (reference scripts/realsense_make_dataset.py
+subscribing /camera/depth/color/points) plugs in behind the same Mailbox
+interface when rospy is available.
+"""
+
+from __future__ import annotations
+
+import pickle
+import threading
+import time
+from typing import Callable, Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+
+class LatestFrameMailbox:
+    """Single-slot, lock-protected latest-value mailbox."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._frame = None
+        self._seq = 0
+        self._taken_seq = 0
+        self._cv = threading.Condition(self._lock)
+        self._closed = False
+
+    def publish(self, frame) -> None:
+        with self._cv:
+            self._frame = frame
+            self._seq += 1
+            self._cv.notify()
+
+    def close(self) -> None:
+        with self._cv:
+            self._closed = True
+            self._cv.notify_all()
+
+    def take(self, timeout: Optional[float] = None):
+        """Block for a frame NEWER than the last taken one.
+
+        Returns (frame, skipped_count) or (None, 0) on close/timeout."""
+        with self._cv:
+            if not self._cv.wait_for(
+                    lambda: self._closed or self._seq > self._taken_seq,
+                    timeout=timeout):
+                return None, 0
+            if self._closed and self._seq <= self._taken_seq:
+                return None, 0
+            skipped = self._seq - self._taken_seq - 1
+            self._taken_seq = self._seq
+            return self._frame, skipped
+
+
+def synthetic_source(mailbox: LatestFrameMailbox, hz: float,
+                     duration_s: float, seed: int = 0,
+                     n_points: int = 19200) -> threading.Thread:
+    """Emulated d435i publisher at ``hz`` frames/sec."""
+    from pillars_tpu.data.synthetic import make_scene
+
+    def run():
+        rng = np.random.RandomState(seed)
+        period = 1.0 / hz
+        t_end = time.perf_counter() + duration_s
+        nxt = time.perf_counter()
+        while time.perf_counter() < t_end:
+            points, _ = make_scene(rng)
+            mailbox.publish(points)
+            nxt += period
+            dt = nxt - time.perf_counter()
+            if dt > 0:
+                time.sleep(dt)
+        mailbox.close()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    return t
+
+
+def replay_source(mailbox: LatestFrameMailbox, hz: float, duration_s: float,
+                  dataset_root: str, info_name: str = "kitti_infos_val.pkl"
+                  ) -> threading.Thread:
+    """Replay recorded clouds from a dataset at a fixed rate (the reference's
+    offline-replay debugging path, scripts/rviz_show_predictions.py)."""
+    with open(f"{dataset_root}/{info_name}", "rb") as f:
+        infos = pickle.load(f)
+
+    def load(i):
+        path = f"{dataset_root}/{infos[i % len(infos)]['velodyne_path']}"
+        with open(path[:-3] + "pkl", "rb") as f:
+            return np.asarray(pickle.load(f, encoding="latin1"),
+                              dtype=np.float32)[:, :3]
+
+    def run():
+        period = 1.0 / hz
+        t_end = time.perf_counter() + duration_s
+        nxt = time.perf_counter()
+        i = 0
+        while time.perf_counter() < t_end:
+            mailbox.publish(load(i))
+            i += 1
+            nxt += period
+            dt = nxt - time.perf_counter()
+            if dt > 0:
+                time.sleep(dt)
+        mailbox.close()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    return t
+
+
+def run_stream(cfg, detector, variables, hz: float = 120.0,
+               duration_s: float = 5.0, source: str = "synthetic",
+               on_detections: Optional[Callable] = None) -> Dict:
+    """Pull frames from the mailbox through the jitted graph as fast as they
+    arrive; report throughput / latency / drop statistics.
+
+    reference production loop (train.py:689-861 + load_data.py:2244-2246)."""
+    import jax
+    import jax.numpy as jnp
+
+    infer = detector.make_inference_fn(cfg.eval_input.anchor_area_threshold)
+    maxpts = cfg.model.voxel.max_points
+    eye = jnp.eye(4, dtype=jnp.float32)[None]
+    min_score = cfg.runtime.prediction_min_score
+
+    # warm up the compiled graph BEFORE the source starts, or the whole
+    # stream drops frames during the (slow) first compile
+    warm = np.zeros((1, maxpts, 3), np.float32)
+    jax.block_until_ready(infer(variables, warm, jnp.asarray([0], jnp.int32),
+                                eye, eye))
+
+    mailbox = LatestFrameMailbox()
+    if source == "synthetic":
+        producer = synthetic_source(mailbox, hz, duration_s)
+    elif source.startswith("replay:"):
+        producer = replay_source(mailbox, hz, duration_s,
+                                 source.split(":", 1)[1])
+    else:
+        raise ValueError(f"unknown stream source {source!r}")
+
+    processed = 0
+    skipped_total = 0
+    latencies = []
+    t_start = time.perf_counter()
+    while True:
+        frame, skipped = mailbox.take(timeout=2.0)
+        if frame is None:
+            break
+        skipped_total += skipped
+        t0 = time.perf_counter()
+        pts = np.zeros((1, maxpts, 3), np.float32)
+        n = min(len(frame), maxpts)
+        pts[0, :n] = frame[:n, :3]
+        out = infer(variables, pts, jnp.asarray([n], jnp.int32), eye, eye)
+        out = jax.device_get(out)
+        latencies.append((time.perf_counter() - t0) * 1e3)
+        processed += 1
+        if on_detections is not None:
+            keep = out.valid[0] & (out.scores[0] >= min_score)
+            on_detections(out.boxes_lidar[0][keep], out.scores[0][keep])
+    wall = time.perf_counter() - t_start
+    lat = np.asarray(latencies) if latencies else np.zeros(1)
+    return {
+        "frames_processed": processed,
+        "frames_skipped": int(skipped_total),
+        "wall_s": round(wall, 3),
+        "throughput_hz": round(processed / max(wall, 1e-9), 2),
+        "latency_p50_ms": round(float(np.percentile(lat, 50)), 3),
+        "latency_p99_ms": round(float(np.percentile(lat, 99)), 3),
+    }

@@ -1,0 +1,487 @@
+"""KITTI-style AP evaluation: bbox/BEV/3D/AOS, 41 recall points, the
+6-threshold matrix of the reference.
+
+Port of reference second/utils/eval.py (997 LoC) with identical semantics:
+  - 41 sample points, every 4th precision averaged / 11 (get_mAP_v2,
+    eval.py:686-690),
+  - threshold selection from TP scores (get_thresholds, eval.py:19-38),
+  - greedy per-frame matcher with ignore semantics
+    (compute_statistics_jit, eval.py:166-286),
+  - difficulty filtering via occlusion/truncation/bbox-height
+    (clean_data, eval.py:40-94),
+  - the stacked min_overlaps matrix 0.5..0.75
+    (get_official_eval_result, eval.py:836-917).
+
+The numba kernels become plain NumPy (the matcher loop is per-frame over at
+most ~50 detections — trivial on host); the rotated-IoU CUDA kernel is
+replaced by pillars_tpu.geometry.rotated_iou (vectorized, exact), optionally
+the native C++ version when built.
+"""
+
+from __future__ import annotations
+
+import io
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from pillars_tpu import native
+from pillars_tpu.geometry.rotated_iou import rotated_iou_np
+
+
+def _rotated_overlap(boxes, qboxes, criterion=-1):
+    """Rotated overlap matrix: native C++ (OpenMP) when built, NumPy twin
+    otherwise. Same algorithm either way (csrc/geometry_ops.cc)."""
+    if boxes.shape[0] and qboxes.shape[0]:
+        out = native.rotated_overlap_matrix(boxes, qboxes, criterion)
+        if out is not None:
+            return out
+    return rotated_iou_np(boxes, qboxes, criterion)
+
+N_SAMPLE_PTS = 41
+
+CLASS_NAMES = ["car", "pedestrian", "cyclist", "van", "person_sitting",
+               "car", "tractor", "trailer"]
+NAME_TO_CLASS = {
+    "Car": 0, "Pedestrian": 1, "Cyclist": 2, "Van": 3, "Person_sitting": 4,
+    "car": 5, "tractor": 6, "trailer": 7,
+}
+
+MIN_HEIGHT = [40, 25, 25]
+MAX_OCCLUSION = [0, 1, 2]
+MAX_TRUNCATION = [0.15, 0.3, 0.5]
+NO_DETECTION = -10000000
+
+
+def get_thresholds(scores: np.ndarray, num_gt: int,
+                   num_sample_pts: int = N_SAMPLE_PTS) -> List[float]:
+    """reference eval.py:19-38."""
+    scores = np.sort(scores)[::-1]
+    current_recall = 0.0
+    thresholds = []
+    for i, score in enumerate(scores):
+        l_recall = (i + 1) / num_gt
+        r_recall = (i + 2) / num_gt if i < len(scores) - 1 else l_recall
+        if ((r_recall - current_recall) < (current_recall - l_recall)
+                and i < len(scores) - 1):
+            continue
+        thresholds.append(score)
+        current_recall += 1 / (num_sample_pts - 1.0)
+    return thresholds
+
+
+def clean_data(gt_anno, dt_anno, current_class: int, difficulty: int):
+    """reference eval.py:40-94."""
+    dc_bboxes, ignored_gt, ignored_dt = [], [], []
+    current_cls_name = CLASS_NAMES[current_class].lower()
+    num_gt = len(gt_anno["name"])
+    num_dt = len(dt_anno["name"])
+    num_valid_gt = 0
+    for i in range(num_gt):
+        bbox = gt_anno["bbox"][i]
+        gt_name = gt_anno["name"][i].lower()
+        height = bbox[3] - bbox[1]
+        if gt_name == current_cls_name:
+            valid_class = 1
+        elif current_cls_name == "pedestrian" and gt_name == "person_sitting":
+            valid_class = 0
+        elif current_cls_name == "car" and gt_name == "van":
+            valid_class = 0
+        else:
+            valid_class = -1
+        ignore = bool(
+            gt_anno["occluded"][i] > MAX_OCCLUSION[difficulty]
+            or gt_anno["truncated"][i] > MAX_TRUNCATION[difficulty]
+            or height <= MIN_HEIGHT[difficulty])
+        if valid_class == 1 and not ignore:
+            ignored_gt.append(0)
+            num_valid_gt += 1
+        elif valid_class == 0 or (ignore and valid_class == 1):
+            ignored_gt.append(1)
+        else:
+            ignored_gt.append(-1)
+        if gt_anno["name"][i] == "DontCare":
+            dc_bboxes.append(gt_anno["bbox"][i])
+    for i in range(num_dt):
+        valid_class = 1 if dt_anno["name"][i].lower() == current_cls_name else -1
+        height = abs(dt_anno["bbox"][i, 3] - dt_anno["bbox"][i, 1])
+        if height < MIN_HEIGHT[difficulty]:
+            ignored_dt.append(1)
+        elif valid_class == 1:
+            ignored_dt.append(0)
+        else:
+            ignored_dt.append(-1)
+    return num_valid_gt, ignored_gt, ignored_dt, dc_bboxes
+
+
+def image_box_overlap(boxes, query_boxes, criterion=-1):
+    """Axis-aligned 2D image-box IoU (reference eval.py:97-125), vectorized."""
+    n, k = boxes.shape[0], query_boxes.shape[0]
+    if n == 0 or k == 0:
+        return np.zeros((n, k), dtype=np.float64)
+    qa = ((query_boxes[:, 2] - query_boxes[:, 0])
+          * (query_boxes[:, 3] - query_boxes[:, 1]))
+    ba = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    iw = (np.minimum(boxes[:, None, 2], query_boxes[None, :, 2])
+          - np.maximum(boxes[:, None, 0], query_boxes[None, :, 0]))
+    ih = (np.minimum(boxes[:, None, 3], query_boxes[None, :, 3])
+          - np.maximum(boxes[:, None, 1], query_boxes[None, :, 1]))
+    iw = np.maximum(iw, 0)
+    ih = np.maximum(ih, 0)
+    inter = iw * ih
+    if criterion == -1:
+        denom = ba[:, None] + qa[None, :] - inter
+    elif criterion == 0:
+        denom = np.broadcast_to(ba[:, None], inter.shape)
+    elif criterion == 1:
+        denom = np.broadcast_to(qa[None, :], inter.shape)
+    else:
+        denom = np.ones_like(inter)
+    out = np.zeros_like(inter, dtype=np.float64)
+    pos = inter > 0
+    out[pos] = (inter / denom)[pos]
+    return out
+
+
+def bev_box_overlap(boxes, qboxes, criterion=-1):
+    """reference eval.py:127-129."""
+    return _rotated_overlap(boxes, qboxes, criterion)
+
+
+def d3_box_overlap(boxes, qboxes, criterion=-1):
+    """3D IoU in CAMERA coords: rotated BEV intersection x height overlap.
+
+    reference eval.py:132-163 (d3_box_overlap + kernel). boxes [N, 7] camera
+    (x, y, z, l, h, w, ry); BEV uses (x, z, l, w, ry); the y axis points
+    DOWN, the location is the box bottom."""
+    rinc = _rotated_overlap(boxes[:, [0, 2, 3, 5, 6]],
+                            qboxes[:, [0, 2, 3, 5, 6]], 2)
+    n, k = boxes.shape[0], qboxes.shape[0]
+    out = rinc.astype(np.float64)
+    for i in range(n):
+        for j in range(k):
+            if rinc[i, j] > 0:
+                iw = (min(boxes[i, 1], qboxes[j, 1])
+                      - max(boxes[i, 1] - boxes[i, 4],
+                            qboxes[j, 1] - qboxes[j, 4]))
+                if iw > 0:
+                    area1 = boxes[i, 3] * boxes[i, 4] * boxes[i, 5]
+                    area2 = qboxes[j, 3] * qboxes[j, 4] * qboxes[j, 5]
+                    inc = iw * rinc[i, j]
+                    if criterion == -1:
+                        ua = area1 + area2 - inc
+                    elif criterion == 0:
+                        ua = area1
+                    elif criterion == 1:
+                        ua = area2
+                    else:
+                        ua = 1.0
+                    out[i, j] = inc / ua
+                else:
+                    out[i, j] = 0.0
+    return out
+
+
+def compute_statistics(overlaps, gt_datas, dt_datas, ignored_gt, ignored_det,
+                       dc_bboxes, metric, min_overlap, thresh=0.0,
+                       compute_fp=False, compute_aos=False):
+    """Greedy matcher, reference eval.py:166-286 (compute_statistics_jit).
+
+    overlaps: [num_dt, num_gt]."""
+    det_size = dt_datas.shape[0]
+    gt_size = gt_datas.shape[0]
+    dt_scores = dt_datas[:, -1]
+    dt_alphas = dt_datas[:, 4]
+    gt_alphas = gt_datas[:, 4]
+    dt_bboxes = dt_datas[:, :4]
+
+    assigned_detection = [False] * det_size
+    ignored_threshold = [False] * det_size
+    if compute_fp:
+        for i in range(det_size):
+            if dt_scores[i] < thresh:
+                ignored_threshold[i] = True
+    tp, fp, fn, similarity = 0, 0, 0, 0.0
+    thresholds = np.zeros((gt_size,))
+    thresh_idx = 0
+    delta = np.zeros((gt_size,))
+    delta_idx = 0
+    for i in range(gt_size):
+        if ignored_gt[i] == -1:
+            continue
+        det_idx = -1
+        valid_detection = NO_DETECTION
+        max_overlap = 0.0
+        assigned_ignored_det = False
+        for j in range(det_size):
+            if ignored_det[j] == -1 or assigned_detection[j] or \
+                    ignored_threshold[j]:
+                continue
+            overlap = overlaps[j, i]
+            dt_score = dt_scores[j]
+            if (not compute_fp and overlap > min_overlap
+                    and dt_score > valid_detection):
+                det_idx = j
+                valid_detection = dt_score
+            elif (compute_fp and overlap > min_overlap
+                  and (overlap > max_overlap or assigned_ignored_det)
+                  and ignored_det[j] == 0):
+                max_overlap = overlap
+                det_idx = j
+                valid_detection = 1
+                assigned_ignored_det = False
+            elif (compute_fp and overlap > min_overlap
+                  and valid_detection == NO_DETECTION
+                  and ignored_det[j] == 1):
+                det_idx = j
+                valid_detection = 1
+                assigned_ignored_det = True
+        if valid_detection == NO_DETECTION and ignored_gt[i] == 0:
+            fn += 1
+        elif (valid_detection != NO_DETECTION
+              and (ignored_gt[i] == 1 or ignored_det[det_idx] == 1)):
+            assigned_detection[det_idx] = True
+        elif valid_detection != NO_DETECTION:
+            tp += 1
+            thresholds[thresh_idx] = dt_scores[det_idx]
+            thresh_idx += 1
+            if compute_aos:
+                delta[delta_idx] = gt_alphas[i] - dt_alphas[det_idx]
+                delta_idx += 1
+            assigned_detection[det_idx] = True
+    if compute_fp:
+        for i in range(det_size):
+            if not (assigned_detection[i] or ignored_det[i] == -1
+                    or ignored_det[i] == 1 or ignored_threshold[i]):
+                fp += 1
+        nstuff = 0
+        if metric == 0 and len(dc_bboxes) > 0:
+            dc = np.stack(dc_bboxes, 0) if isinstance(dc_bboxes, list) else dc_bboxes
+            overlaps_dt_dc = image_box_overlap(dt_bboxes, dc, 0)
+            for i in range(dc.shape[0]):
+                for j in range(det_size):
+                    if (assigned_detection[j] or ignored_det[j] in (-1, 1)
+                            or ignored_threshold[j]):
+                        continue
+                    if overlaps_dt_dc[j, i] > min_overlap:
+                        assigned_detection[j] = True
+                        nstuff += 1
+        fp -= nstuff
+        if compute_aos:
+            tmp = np.zeros((fp + delta_idx,))
+            for i in range(delta_idx):
+                tmp[i + fp] = (1.0 + np.cos(delta[i])) / 2.0
+            similarity = np.sum(tmp) if (tp > 0 or fp > 0) else -1.0
+    return tp, fp, fn, similarity, thresholds[:thresh_idx]
+
+
+def _prepare_data(gt_annos, dt_annos, current_class, difficulty):
+    """reference eval.py:425-453."""
+    gt_datas_list, dt_datas_list = [], []
+    ignored_gts, ignored_dets, dontcares = [], [], []
+    total_dc_num = []
+    total_num_valid_gt = 0
+    for i in range(len(gt_annos)):
+        num_valid_gt, ignored_gt, ignored_det, dc_bboxes = clean_data(
+            gt_annos[i], dt_annos[i], current_class, difficulty)
+        ignored_gts.append(np.array(ignored_gt, dtype=np.int64))
+        ignored_dets.append(np.array(ignored_det, dtype=np.int64))
+        if len(dc_bboxes) == 0:
+            dc_bboxes = np.zeros((0, 4)).astype(np.float64)
+        else:
+            dc_bboxes = np.stack(dc_bboxes, 0).astype(np.float64)
+        total_dc_num.append(dc_bboxes.shape[0])
+        dontcares.append(dc_bboxes)
+        total_num_valid_gt += num_valid_gt
+        gt_datas_list.append(np.concatenate(
+            [gt_annos[i]["bbox"], gt_annos[i]["alpha"][..., np.newaxis]], 1))
+        dt_datas_list.append(np.concatenate([
+            dt_annos[i]["bbox"], dt_annos[i]["alpha"][..., np.newaxis],
+            dt_annos[i]["score"][..., np.newaxis]], 1))
+    return (gt_datas_list, dt_datas_list, ignored_gts, ignored_dets,
+            dontcares, np.array(total_dc_num), total_num_valid_gt)
+
+
+def calculate_iou(gt_annos, dt_annos, metric):
+    """Per-frame dt-x-gt overlap matrices (reference calculate_iou_partly,
+    eval.py:348-422; partitioning is unnecessary with vectorized IoU)."""
+    overlaps = []
+    for gt, dt in zip(gt_annos, dt_annos):
+        if metric == 0:
+            o = image_box_overlap(dt["bbox"], gt["bbox"])
+        elif metric == 1:
+            dt_boxes = np.concatenate(
+                [dt["location"][:, [0, 2]], dt["dimensions"][:, [0, 2]],
+                 dt["rotation_y"][..., np.newaxis]], axis=1)
+            gt_boxes = np.concatenate(
+                [gt["location"][:, [0, 2]], gt["dimensions"][:, [0, 2]],
+                 gt["rotation_y"][..., np.newaxis]], axis=1)
+            o = bev_box_overlap(dt_boxes, gt_boxes).astype(np.float64)
+        elif metric == 2:
+            dt_boxes = np.concatenate(
+                [dt["location"], dt["dimensions"],
+                 dt["rotation_y"][..., np.newaxis]], axis=1)
+            gt_boxes = np.concatenate(
+                [gt["location"], gt["dimensions"],
+                 gt["rotation_y"][..., np.newaxis]], axis=1)
+            o = d3_box_overlap(dt_boxes, gt_boxes).astype(np.float64)
+        else:
+            raise ValueError("unknown metric")
+        overlaps.append(o)
+    return overlaps
+
+
+def eval_class(gt_annos, dt_annos, current_classes, difficultys, metric,
+               min_overlaps, compute_aos=False):
+    """reference eval_class_v3 (eval.py:552-659)."""
+    assert len(gt_annos) == len(dt_annos)
+    overlaps = calculate_iou(gt_annos, dt_annos, metric)
+    num_minoverlap = len(min_overlaps)
+    num_class = len(current_classes)
+    num_difficulty = len(difficultys)
+    precision = np.zeros([num_class, num_difficulty, num_minoverlap,
+                          N_SAMPLE_PTS])
+    recall = np.zeros_like(precision)
+    aos = np.zeros_like(precision)
+    for m, current_class in enumerate(current_classes):
+        for l, difficulty in enumerate(difficultys):
+            (gt_datas, dt_datas, ignored_gts, ignored_dets, dontcares,
+             total_dc_num, total_num_valid_gt) = _prepare_data(
+                gt_annos, dt_annos, current_class, difficulty)
+            for k, min_overlap in enumerate(min_overlaps[:, metric, m]):
+                thresholdss = []
+                for i in range(len(gt_annos)):
+                    _, _, _, _, th = compute_statistics(
+                        overlaps[i], gt_datas[i], dt_datas[i],
+                        ignored_gts[i], ignored_dets[i], dontcares[i],
+                        metric, min_overlap=min_overlap, thresh=0.0,
+                        compute_fp=False)
+                    thresholdss += th.tolist()
+                thresholds = np.array(
+                    get_thresholds(np.array(thresholdss), total_num_valid_gt))
+                pr = np.zeros([len(thresholds), 4])
+                for i in range(len(gt_annos)):
+                    for t, thresh in enumerate(thresholds):
+                        tp, fp, fn, sim, _ = compute_statistics(
+                            overlaps[i], gt_datas[i], dt_datas[i],
+                            ignored_gts[i], ignored_dets[i], dontcares[i],
+                            metric, min_overlap=min_overlap, thresh=thresh,
+                            compute_fp=True, compute_aos=compute_aos)
+                        pr[t, 0] += tp
+                        pr[t, 1] += fp
+                        pr[t, 2] += fn
+                        if sim != -1:
+                            pr[t, 3] += sim
+                for i in range(len(thresholds)):
+                    recall[m, l, k, i] = pr[i, 0] / (pr[i, 0] + pr[i, 2])
+                    precision[m, l, k, i] = pr[i, 0] / (pr[i, 0] + pr[i, 1])
+                    if compute_aos:
+                        aos[m, l, k, i] = pr[i, 3] / (pr[i, 0] + pr[i, 1])
+                for i in range(len(thresholds)):
+                    precision[m, l, k, i] = np.max(precision[m, l, k, i:])
+                    recall[m, l, k, i] = np.max(recall[m, l, k, i:])
+                    if compute_aos:
+                        aos[m, l, k, i] = np.max(aos[m, l, k, i:])
+    return {"recall": recall, "precision": precision, "orientation": aos}
+
+
+def get_mAP(prec):
+    """reference get_mAP_v2 (eval.py:686-690): every 4th of 41 points / 11."""
+    sums = 0
+    for i in range(0, prec.shape[-1], 4):
+        sums = sums + prec[..., i]
+    return sums / 11 * 100
+
+
+def do_eval(gt_annos, dt_annos, current_classes, min_overlaps,
+            compute_aos=False, difficultys=(0, 1, 2), compute_bbox=True):
+    """reference do_eval_v2 (eval.py:694-753)."""
+    mAP_bbox = None
+    if compute_bbox:
+        ret = eval_class(gt_annos, dt_annos, current_classes, difficultys, 0,
+                         min_overlaps, compute_aos)
+        mAP_bbox = get_mAP(ret["precision"])
+    ret = eval_class(gt_annos, dt_annos, current_classes, difficultys, 1,
+                     min_overlaps, compute_aos)
+    mAP_bev = get_mAP(ret["precision"])
+    mAP_aos = get_mAP(ret["orientation"]) if compute_aos else None
+    ret = eval_class(gt_annos, dt_annos, current_classes, difficultys, 2,
+                     min_overlaps)
+    mAP_3d = get_mAP(ret["precision"])
+    return mAP_bbox, mAP_bev, mAP_3d, mAP_aos
+
+
+def _min_overlaps_matrix() -> np.ndarray:
+    """The 6-level stacked overlap matrix (reference eval.py:843-866)."""
+    o75 = np.array([[0.7, 0.95, 0.5, 0.7, 0.5, 0.7, 0.7, 0.7],
+                    [0.7, 0.75, 0.5, 0.7, 0.5, 0.7, 0.7, 0.7],
+                    [0.7, 0.75, 0.5, 0.7, 0.5, 0.7, 0.7, 0.7]])
+    o70 = np.array([[0.7, 0.90, 0.5, 0.7, 0.5, 0.7, 0.7, 0.7],
+                    [0.7, 0.70, 0.5, 0.7, 0.5, 0.7, 0.7, 0.7],
+                    [0.7, 0.70, 0.5, 0.7, 0.5, 0.7, 0.7, 0.7]])
+    o65 = np.array([[0.7, 0.85, 0.5, 0.7, 0.5, 0.7, 0.7, 0.7],
+                    [0.7, 0.65, 0.5, 0.7, 0.5, 0.7, 0.7, 0.7],
+                    [0.7, 0.65, 0.5, 0.7, 0.5, 0.7, 0.7, 0.7]])
+    o60 = np.array([[0.7, 0.80, 0.5, 0.7, 0.5, 0.7, 0.7, 0.7],
+                    [0.7, 0.60, 0.5, 0.7, 0.5, 0.7, 0.7, 0.7],
+                    [0.7, 0.60, 0.5, 0.7, 0.5, 0.7, 0.7, 0.7]])
+    o55 = np.array([[0.7, 0.75, 0.5, 0.7, 0.5, 0.7, 0.7, 0.7],
+                    [0.7, 0.55, 0.5, 0.7, 0.5, 0.7, 0.7, 0.7],
+                    [0.7, 0.55, 0.5, 0.7, 0.5, 0.7, 0.7, 0.7]])
+    o50 = np.array([[0.7, 0.7, 0.5, 0.7, 0.5, 0.5, 0.5, 0.5],
+                    [0.5, 0.5, 0.25, 0.5, 0.25, 0.5, 0.5, 0.5],
+                    [0.5, 0.5, 0.25, 0.5, 0.25, 0.5, 0.5, 0.5]])
+    return np.stack([o50, o55, o60, o65, o70, o75], axis=0)
+
+
+def get_official_eval_result(gt_annos, dt_annos, current_classes,
+                             difficultys=(0, 1, 2), compute_bbox=True):
+    """reference get_official_eval_result (eval.py:836-917).
+
+    Returns (result_str, mAPbbox, mAPbev, mAP3d, mAPaos); each mAP has shape
+    [num_class, num_difficulty, 6]."""
+    min_overlaps = _min_overlaps_matrix()
+    if not isinstance(current_classes, (list, tuple)):
+        current_classes = [current_classes]
+    current_classes = [NAME_TO_CLASS[c] if isinstance(c, str) else c
+                       for c in current_classes]
+    min_overlaps = min_overlaps[:, :, current_classes]
+    compute_aos = False
+    for anno in dt_annos:
+        if anno["alpha"].shape[0] != 0:
+            if anno["alpha"][0] != -10:
+                compute_aos = True
+            break
+    mAPbbox, mAPbev, mAP3d, mAPaos = do_eval(
+        gt_annos, dt_annos, current_classes, min_overlaps, compute_aos,
+        list(difficultys), compute_bbox=compute_bbox)
+    s = io.StringIO()
+    class_names_cap = {v: k for k, v in NAME_TO_CLASS.items()}
+    for j, curcls in enumerate(current_classes):
+        for i in range(min_overlaps.shape[0]):
+            print(f"{class_names_cap[curcls]} "
+                  "AP@{:.2f}, {:.2f}, {:.2f}:".format(*min_overlaps[i, :, j]),
+                  file=s)
+            if compute_bbox and mAPbbox is not None:
+                print(f"bbox AP:{mAPbbox[j, 0, i]:.2f}, "
+                      f"{mAPbbox[j, 1, i]:.2f}, {mAPbbox[j, 2, i]:.2f}", file=s)
+            print(f"bev  AP:{mAPbev[j, 0, i]:.2f}, "
+                  f"{mAPbev[j, 1, i]:.2f}, {mAPbev[j, 2, i]:.2f}", file=s)
+            print(f"3d   AP:{mAP3d[j, 0, i]:.2f}, "
+                  f"{mAP3d[j, 1, i]:.2f}, {mAP3d[j, 2, i]:.2f}", file=s)
+            if compute_aos:
+                print(f"aos  AP:{mAPaos[j, 0, i]:.2f}, "
+                      f"{mAPaos[j, 1, i]:.2f}, {mAPaos[j, 2, i]:.2f}", file=s)
+    return s.getvalue(), mAPbbox, mAPbev, mAP3d, mAPaos
+
+
+def aggregate_eval_score(mAP3d, mAPaos, mAPbev) -> float:
+    """The reference's checkpoint-gating score:
+    (sum(3d) + sum(aos) + sum(bev)) / 18 over the 6 thresholds
+    (reference train.py:418, :926).
+
+    When every detection set is empty, AOS is undefined (the reference's
+    compute_aos sniffing, eval.py:899-905) — count it as zero instead of
+    crashing like the reference would."""
+    aos_sum = mAPaos[0][0].sum() if mAPaos is not None else 0.0
+    return float((mAP3d[0][0].sum() + aos_sum + mAPbev[0][0].sum()) / 18)

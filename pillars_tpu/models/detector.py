@@ -1,0 +1,222 @@
+"""End-to-end detector (the reference's VoxelNet, model/voxelnet.py:725-1390)
+as one pure, jittable computation over static shapes.
+
+Pipeline: voxelize (ops/voxelize) -> PFN -> canvas scatter -> RPN ->
+[train] loss  |  [eval] decode + top-k + NMS + direction flip, all on device.
+
+Differences from the reference, by design:
+- the postprocess runs INSIDE the jitted graph (the reference copies every
+  head tensor to the host and post-processes in NumPy per sample,
+  voxelnet.py:1060-1390);
+- outputs are fixed-size [nms_post_max_size] with a validity mask;
+- the batch is a padded dense layout, vmapped, shardable over a device mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pillars_tpu.config import Config, ModelConfig
+from pillars_tpu.geometry import boxes as gb
+from pillars_tpu.models.losses import LossOutput, detection_loss
+from pillars_tpu.models.pfn import PillarFeatureNet
+from pillars_tpu.models.rpn import RPN
+from pillars_tpu.ops.anchors import AnchorSet, anchors_mask_batched, build_anchors
+from pillars_tpu.ops.nms import nms_standup
+from pillars_tpu.ops.scatter import scatter_to_canvas_batched
+from pillars_tpu.ops.targets import assign_targets_batched
+from pillars_tpu.ops.voxelize import make_voxelizer
+
+from flax import linen as nn
+
+
+class Predictions(NamedTuple):
+    """Fixed-size per-sample detections, [B, K, ...] with K = nms_post_max."""
+
+    boxes_lidar: jax.Array   # [B, K, 7]
+    boxes_camera: jax.Array  # [B, K, 7]
+    scores: jax.Array        # [B, K]
+    labels: jax.Array        # [B, K] int32
+    valid: jax.Array         # [B, K] bool
+
+
+class _Network(nn.Module):
+    """PFN + scatter + RPN over a voxelized batch."""
+
+    cfg: ModelConfig
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, voxels, num_points, coords, pillar_mask,
+                 train: bool = False):
+        # Fold batch into the pillar axis: the PFN is purely per-pillar, so
+        # [B, P, N, D] -> [B*P, N, D] turns the Dense into ONE big MXU matmul
+        # and makes the masked BN statistics span the whole batch's real
+        # pillars — exactly matching the reference's ragged concat layout
+        # (load_data.py:2190-2195 merge_second_batch).
+        b, p = voxels.shape[:2]
+        flat = lambda a: a.reshape((b * p,) + a.shape[2:])
+        pfn = PillarFeatureNet(self.cfg, dtype=self.dtype, name="pfn")
+        pillar_feats = pfn(flat(voxels), flat(num_points), flat(coords),
+                           flat(pillar_mask), train=train)
+        pillar_feats = pillar_feats.reshape(b, p, -1)
+        _, ny, nx = self.cfg.feature_map_size
+        canvas = scatter_to_canvas_batched(pillar_feats, coords, pillar_mask,
+                                           ny, nx)
+        return RPN(self.cfg, dtype=self.dtype, name="rpn")(canvas, train)
+
+
+class PillarsDetector:
+    """Binds config + static anchor data; exposes pure functions."""
+
+    def __init__(self, config: Config, dtype: Optional[jnp.dtype] = None):
+        self.config = config
+        self.mcfg = config.model
+        self.dtype = dtype
+        self.anchor_set: AnchorSet = build_anchors(self.mcfg)
+        self.network = _Network(self.mcfg, dtype=dtype)
+        self.voxelize = make_voxelizer(self.mcfg.voxel)
+        _, self.ny, self.nx = self.mcfg.feature_map_size
+
+    # ------------------------------------------------------------------
+    def init(self, rng: jax.Array, batch_size: int = 1) -> Dict[str, Any]:
+        vc = self.mcfg.voxel
+        dummy = dict(
+            voxels=jnp.zeros((batch_size, vc.max_voxels,
+                              vc.max_points_per_voxel,
+                              self.mcfg.num_point_features), jnp.float32),
+            num_points=jnp.zeros((batch_size, vc.max_voxels), jnp.int32),
+            coords=jnp.zeros((batch_size, vc.max_voxels, 3), jnp.int32),
+            pillar_mask=jnp.zeros((batch_size, vc.max_voxels), bool),
+        )
+        return self.network.init(
+            rng, dummy["voxels"], dummy["num_points"], dummy["coords"],
+            dummy["pillar_mask"], False)
+
+    # ------------------------------------------------------------------
+    def voxelize_batch(self, points, num_valid):
+        """[B, MAXPTS, D] + [B] -> VoxelizedSample batch (vmapped)."""
+        return jax.vmap(self.voxelize)(points, num_valid)
+
+    def anchors_mask_batch(self, coords, pillar_mask, threshold: float):
+        return anchors_mask_batched(
+            coords, pillar_mask, jnp.asarray(self.anchor_set.sat_corners),
+            self.ny, self.nx, threshold)
+
+    # ------------------------------------------------------------------
+    def apply(self, variables, voxelized, train: bool = False,
+              mutable=False):
+        """Run PFN+scatter+RPN. Returns (preds, new_model_state?)"""
+        return self.network.apply(
+            variables, voxelized.voxels, voxelized.num_points,
+            voxelized.coords, voxelized.pillar_mask, train,
+            mutable=mutable)
+
+    # ------------------------------------------------------------------
+    def loss(self, preds: Dict[str, jax.Array], labels, reg_targets
+             ) -> LossOutput:
+        return detection_loss(
+            self.mcfg.loss, self.mcfg.num_class,
+            preds["box_preds"], preds["cls_preds"],
+            preds.get("dir_cls_preds"), jnp.asarray(self.anchor_set.anchors),
+            labels, reg_targets,
+            use_direction_classifier=self.mcfg.postprocess.use_direction_classifier)
+
+    # ------------------------------------------------------------------
+    def assign_targets(self, gt_boxes, gt_classes, gt_valid, amask):
+        return assign_targets_batched(
+            jnp.asarray(self.anchor_set.standup_bv),
+            jnp.asarray(self.anchor_set.anchors),
+            gt_boxes, gt_classes, gt_valid, amask,
+            jnp.asarray(self.anchor_set.matched_thresholds),
+            jnp.asarray(self.anchor_set.unmatched_thresholds))
+
+    # ------------------------------------------------------------------
+    def postprocess(self, preds: Dict[str, jax.Array], anchors_mask,
+                    rect, trv2c) -> Predictions:
+        """Decode + top-k + NMS + direction flip, vmapped over the batch.
+
+        reference VoxelNet.predict (model/voxelnet.py:1060-1390), moved
+        fully on-device with fixed shapes."""
+        pp = self.mcfg.postprocess
+        anchors = jnp.asarray(self.anchor_set.anchors)
+        batch = preds["box_preds"].shape[0]
+        box_preds = preds["box_preds"].reshape(batch, -1, 7).astype(jnp.float32)
+        cls_preds = preds["cls_preds"].reshape(
+            batch, -1, self.mcfg.num_class).astype(jnp.float32)
+        dir_preds = preds["dir_cls_preds"].reshape(batch, -1, 2).astype(
+            jnp.float32) if pp.use_direction_classifier else jnp.zeros(
+                (batch, box_preds.shape[1], 2), jnp.float32)
+
+        def one(box_p, cls_p, dir_p, amask, rect_i, trv2c_i):
+            # scores: sigmoid over the single foreground class
+            # (voxelnet.py:1149-1150, num_class_with_bg == 1 path)
+            scores = jax.nn.sigmoid(cls_p[:, 0])
+            labels0 = jnp.zeros_like(scores, dtype=jnp.int32)
+            if self.mcfg.num_class > 1:
+                scores = jnp.max(jax.nn.sigmoid(cls_p), axis=-1)
+                labels0 = jnp.argmax(cls_p, axis=-1).astype(jnp.int32)
+            masked_scores = jnp.where(amask, scores, -jnp.inf)
+            if pp.nms_score_threshold > 0.0:
+                masked_scores = jnp.where(
+                    masked_scores >= pp.nms_score_threshold,
+                    masked_scores, -jnp.inf)
+
+            k = pp.nms_pre_max_size
+            top_scores, top_idx = jax.lax.top_k(masked_scores, k)
+            top_valid = jnp.isfinite(top_scores)
+            sel_box = box_p[top_idx]
+            sel_anchor = anchors[top_idx]
+            sel_dir = jnp.argmax(dir_p[top_idx], axis=-1)
+            sel_label = labels0[top_idx]
+
+            decoded = gb.second_box_decode(sel_box, sel_anchor)  # [k, 7]
+            bev = decoded[:, jnp.array([0, 1, 3, 4, 6])]
+            corners = gb.center_to_corner_box2d(bev[:, :2], bev[:, 2:4],
+                                                bev[:, 4])
+            standup = gb.corner_to_standup(corners)
+            keep_idx, keep_valid = nms_standup(
+                standup, top_scores, top_valid, pp.nms_iou_threshold,
+                pp.nms_post_max_size)
+
+            out_boxes = decoded[keep_idx]
+            out_scores = top_scores[keep_idx]
+            out_dir = sel_dir[keep_idx]
+            out_label = sel_label[keep_idx]
+
+            if pp.use_direction_classifier:
+                # (rot > 0) xor dir  ->  += pi (voxelnet.py:1300-1310)
+                opp = jnp.logical_xor(out_boxes[:, 6] > 0, out_dir > 0)
+                rot = out_boxes[:, 6] + jnp.where(opp, jnp.pi, 0.0)
+                out_boxes = out_boxes.at[:, 6].set(rot)
+
+            cam = gb.box_lidar_to_camera(out_boxes, rect_i, trv2c_i)
+            return out_boxes, cam, out_scores, out_label, keep_valid
+
+        outs = jax.vmap(one)(box_preds, cls_preds, dir_preds, anchors_mask,
+                             rect, trv2c)
+        return Predictions(*outs)
+
+    # ------------------------------------------------------------------
+    def make_inference_fn(self, anchor_area_threshold: Optional[float] = None):
+        """One jitted graph: padded pointclouds -> final boxes.
+
+        fn(variables, points [B, MAXPTS, D], num_valid [B],
+           rect [B, 4, 4], trv2c [B, 4, 4]) -> Predictions
+        """
+        thr = (self.config.eval_input.anchor_area_threshold
+               if anchor_area_threshold is None else anchor_area_threshold)
+
+        def fn(variables, points, num_valid, rect, trv2c):
+            voxelized = self.voxelize_batch(points, num_valid)
+            amask = self.anchors_mask_batch(
+                voxelized.coords, voxelized.pillar_mask, thr)
+            preds = self.apply(variables, voxelized, train=False)
+            return self.postprocess(preds, amask, rect, trv2c)
+
+        return jax.jit(fn)

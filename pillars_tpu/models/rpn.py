@@ -1,0 +1,113 @@
+"""RPN: SSD-style backbone of separable convs + transposed-conv up-branches
++ 1x1 detection heads, NHWC end to end.
+
+reference model/voxelnet.py:517-717. Three downsample blocks
+(layer_nums [3,5,5], strides [1,2,2], filters [64,128,256]; each block is
+1 strided separable conv + N same-padding separable convs, every conv
+followed by BN+ReLU), three ConvTranspose up-branches to 128 channels each,
+concat to 384, then conv_box (14ch), conv_cls (2ch), conv_dir_cls (4ch).
+
+The reference scatters NCHW and transposes to NHWC inside the RPN
+(voxelnet.py:697); here the canvas arrives NHWC natively.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pillars_tpu.config import ModelConfig
+from pillars_tpu.models.layers import SeparableConv, he_uniform
+
+
+class _Block(nn.Module):
+    """One downsample block: strided conv + n same convs, BN+ReLU each."""
+
+    features: int
+    num_layers: int
+    stride: int
+    bn_momentum: float
+    bn_eps: float
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        # explicit ((1,1),(1,1)) zero pad + VALID conv == keras
+        # ZeroPadding2D + SeparableConv2D(valid) (voxelnet.py:574-576)
+        x = SeparableConv(self.features, 3, self.stride,
+                          padding=((1, 1), (1, 1)), dtype=self.dtype,
+                          name="conv0")(x)
+        x = nn.BatchNorm(use_running_average=not train,
+                         momentum=self.bn_momentum, epsilon=self.bn_eps,
+                         dtype=self.dtype, name="bn0")(x)
+        x = nn.relu(x)
+        for i in range(self.num_layers):
+            x = SeparableConv(self.features, 3, 1, padding="SAME",
+                              dtype=self.dtype, name=f"conv{i + 1}")(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             momentum=self.bn_momentum, epsilon=self.bn_eps,
+                             dtype=self.dtype, name=f"bn{i + 1}")(x)
+            x = nn.relu(x)
+        return x
+
+
+class _Deconv(nn.Module):
+    """Up-branch: ConvTranspose(kernel == stride) + BN + ReLU
+    (voxelnet.py:589-598)."""
+
+    features: int
+    stride: int
+    bn_momentum: float
+    bn_eps: float
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.ConvTranspose(self.features,
+                             kernel_size=(self.stride, self.stride),
+                             strides=(self.stride, self.stride),
+                             padding="VALID", use_bias=False,
+                             kernel_init=he_uniform, dtype=self.dtype,
+                             name="deconv")(x)
+        x = nn.BatchNorm(use_running_average=not train,
+                         momentum=self.bn_momentum, epsilon=self.bn_eps,
+                         dtype=self.dtype, name="bn")(x)
+        return nn.relu(x)
+
+
+class RPN(nn.Module):
+    cfg: ModelConfig
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
+        """x: [B, ny, nx, C] canvas -> head outputs (NHWC)."""
+        rcfg = self.cfg.rpn
+        ups = []
+        for i in range(3):
+            x = _Block(rcfg.num_filters[i], rcfg.layer_nums[i],
+                       rcfg.layer_strides[i], rcfg.bn_momentum, rcfg.bn_eps,
+                       dtype=self.dtype, name=f"block{i + 1}")(x, train)
+            ups.append(
+                _Deconv(rcfg.num_upsample_filters[i], rcfg.upsample_strides[i],
+                        rcfg.bn_momentum, rcfg.bn_eps, dtype=self.dtype,
+                        name=f"deconv{i + 1}")(x, train))
+        x = jnp.concatenate(ups, axis=-1)  # [B, ny, nx, 384]
+
+        n_anchor = self.cfg.num_anchors_per_loc
+        num_cls = n_anchor * (self.cfg.num_class
+                              if self.cfg.encode_background_as_zeros
+                              else self.cfg.num_class + 1)
+        box = nn.Conv(n_anchor * self.cfg.box_code_size, (1, 1), use_bias=True,
+                      kernel_init=he_uniform, dtype=self.dtype,
+                      name="conv_box")(x)
+        cls = nn.Conv(num_cls, (1, 1), use_bias=True, kernel_init=he_uniform,
+                      dtype=self.dtype, name="conv_cls")(x)
+        out = {"box_preds": box, "cls_preds": cls}
+        if self.cfg.postprocess.use_direction_classifier:
+            out["dir_cls_preds"] = nn.Conv(
+                n_anchor * 2, (1, 1), use_bias=True, kernel_init=he_uniform,
+                dtype=self.dtype, name="conv_dir_cls")(x)
+        return out

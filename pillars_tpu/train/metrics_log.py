@@ -1,0 +1,81 @@
+"""Metric logging with the reference's wandb key names, pluggable sinks.
+
+reference libraries/train_helper_functions.py:6-91: loss scalars every 10
+steps ('loss_locatization' [sic], 'loss_classification', 'loss_direction',
+'loss', 'learning_rate', epoch), 18 eval APs + average per epoch
+('ev_3d_50' ... 'ev_aos_75', 'ev_average'). Key names are preserved for
+dashboard comparability. Sinks: wandb (if importable + configured), CSV,
+stdout.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import sys
+import time
+from typing import Dict, List, Optional
+
+
+class MetricLogger:
+    def __init__(self, log_dir: Optional[str] = None, use_wandb: bool = False,
+                 wandb_project: str = "pillars_tpu", run_name: str = "run"):
+        self.sinks = []
+        self._csv_path = None
+        self._csv_keys = None
+        if log_dir:
+            os.makedirs(log_dir, exist_ok=True)
+            self._csv_path = os.path.join(log_dir, "metrics.csv")
+        self._wandb = None
+        if use_wandb:
+            try:
+                import wandb
+
+                wandb.init(project=wandb_project, name=run_name)
+                self._wandb = wandb
+            except Exception as e:  # wandb genuinely optional
+                print(f"[metrics] wandb unavailable ({e}); falling back to CSV",
+                      file=sys.stderr)
+
+    # ------------------------------------------------------------------
+    def log(self, step: int, metrics: Dict[str, float]) -> None:
+        metrics = {k: float(v) for k, v in metrics.items()}
+        if self._wandb is not None:
+            self._wandb.log(metrics, step=step)
+        if self._csv_path:
+            row = {"step": step, "time": time.time(), **metrics}
+            write_header = (self._csv_keys is None
+                            or set(row) - set(self._csv_keys))
+            if write_header:
+                self._csv_keys = list(row)
+            exists = os.path.exists(self._csv_path)
+            with open(self._csv_path, "a", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=self._csv_keys,
+                                   extrasaction="ignore")
+                if not exists or write_header and not exists:
+                    w.writeheader()
+                w.writerow(row)
+
+    # ------------------------------------------------------------------
+    def log_train_step(self, step: int, epoch: int, m) -> None:
+        """reference log_wandb_loss (train_helper_functions.py:6-14)."""
+        self.log(step, {
+            "loss_locatization": m.loc_loss_reduced,
+            "loss_classification": m.cls_loss_reduced,
+            "loss_direction": m.dir_loss_reduced,
+            "loss": m.loss,
+            "learning_rate": m.learning_rate,
+            "epoch": epoch,
+        })
+
+    def log_eval(self, step: int, mAP3d, mAPaos, mAPbev, score: float) -> None:
+        """reference log_wandb_eval (train_helper_functions.py:18-39)."""
+        thresholds = ["50", "55", "60", "65", "70", "75"]
+        metrics = {}
+        for i, t in enumerate(thresholds):
+            metrics[f"ev_3d_{t}"] = mAP3d[0][0][i]
+            metrics[f"ev_aos_{t}"] = (mAPaos[0][0][i]
+                                      if mAPaos is not None else 0.0)
+            metrics[f"ev_bev_{t}"] = mAPbev[0][0][i]
+        metrics["ev_average"] = score
+        self.log(step, metrics)

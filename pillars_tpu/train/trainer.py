@@ -1,0 +1,167 @@
+"""Training orchestration: epoch loop, per-epoch eval, score-gated
+checkpointing.
+
+reference train.py:126-460 (train) + :480-932 (evaluate). The structure is
+the same — epochs of jitted steps, full KITTI eval after each epoch, keep
+weights iff the aggregate score improves — but the step is one fused XLA
+graph and eval inference is batched + pipelined on device.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from pillars_tpu.config import Config
+from pillars_tpu.data.pipeline import BatchIterator, PedestrianDataset
+from pillars_tpu.data.sampler import DataBaseSampler
+from pillars_tpu.eval import kitti_ap
+from pillars_tpu.eval.predict_to_anno import (infos_to_gt_annos,
+                                              predictions_to_annos)
+from pillars_tpu.models.detector import PillarsDetector
+from pillars_tpu.train import checkpoint as ckpt
+from pillars_tpu.train.loop import (StepMetrics, TrainState,
+                                    create_train_state, make_train_step)
+from pillars_tpu.train.metrics_log import MetricLogger
+from pillars_tpu.utils.profiling import StageTimer
+
+
+class Evaluator:
+    """Batched offline eval: dataset -> device inference -> KITTI AP.
+
+    reference evaluate() (train.py:480-932), minus ROS (see data/stream.py
+    for the production path)."""
+
+    def __init__(self, cfg: Config, detector: PillarsDetector,
+                 measure_time: bool = False):
+        self.cfg = cfg
+        self.detector = detector
+        self.dataset = PedestrianDataset(cfg, cfg.eval_input, training=False)
+        self.infer = detector.make_inference_fn(
+            cfg.eval_input.anchor_area_threshold)
+        self.class_names = list(cfg.eval_input.desired_objects)
+        self.measure_time = measure_time
+
+    def run(self, variables, max_samples: Optional[int] = None
+            ) -> Tuple[List[Dict], List[Dict]]:
+        """Returns (dt_annos, gt_annos)."""
+        batch_size = self.cfg.eval_input.batch_size
+        it = BatchIterator(self.dataset, batch_size, shuffle=False,
+                           num_workers=self.cfg.eval_input.num_workers,
+                           drop_remainder=False)
+        timer = StageTimer(enabled=self.measure_time)
+        dt_annos: List[Dict] = []
+        count = 0
+        for batch in it:
+            with timer.stage("t_full_sample"):
+                with timer.stage("t_network"):
+                    preds = self.infer(
+                        variables, batch["points"], batch["num_points"],
+                        batch["rect"], batch["trv2c"])
+                    preds = jax.device_get(preds)
+                with timer.stage("t_anno"):
+                    dt_annos += predictions_to_annos(
+                        preds, batch["image_idx"], self.class_names,
+                        self.cfg.model.postprocess.post_center_limit_range)
+            count += batch["points"].shape[0]
+            if max_samples and count >= max_samples:
+                break
+        if self.measure_time:
+            timer.report()
+        gt_annos = infos_to_gt_annos(self.dataset.infos)[: len(dt_annos)]
+        return dt_annos, gt_annos
+
+    def evaluate(self, variables, max_samples: Optional[int] = None):
+        """Returns (result_str, mAPbev, mAP3d, mAPaos, score)."""
+        dt_annos, gt_annos = self.run(variables, max_samples)
+        result, _, mAPbev, mAP3d, mAPaos = kitti_ap.get_official_eval_result(
+            gt_annos, dt_annos, self.class_names, compute_bbox=False)
+        score = kitti_ap.aggregate_eval_score(mAP3d, mAPaos, mAPbev)
+        return result, mAPbev, mAP3d, mAPaos, score
+
+
+class Trainer:
+    def __init__(self, cfg: Config, use_wandb: bool = False):
+        self.cfg = cfg
+        self.detector = PillarsDetector(cfg)
+        self.dirs = ckpt.create_out_dirs(cfg.out_dir, cfg.model_id)
+        self.logger = MetricLogger(self.dirs["logs"], use_wandb=use_wandb,
+                                   run_name=f"model_{self.dirs['model_id']}")
+
+        sampler = None
+        if cfg.train_input.sampler.info_path:
+            sampler = DataBaseSampler(
+                cfg.train_input.sampler.info_path, cfg.train_input.sampler,
+                rng=np.random.RandomState(cfg.train.seed))
+        self.dataset = PedestrianDataset(
+            cfg, cfg.train_input, training=True, sampler=sampler,
+            rng=np.random.RandomState(cfg.train.seed))
+        self.state, self.tx = create_train_state(
+            self.detector, jax.random.PRNGKey(cfg.train.seed),
+            cfg.train_input.batch_size)
+        self.step_fn = make_train_step(self.detector, self.tx)
+        self.evaluator = (Evaluator(cfg, self.detector)
+                          if cfg.train.do_evaluate and cfg.eval_input.info_path
+                          else None)
+
+        if cfg.train.load_weights:
+            params, batch_stats = ckpt.load_params(cfg.train.load_weights)
+            self.state = self.state._replace(
+                params=params,
+                batch_stats=batch_stats or self.state.batch_stats)
+
+    # ------------------------------------------------------------------
+    def variables(self):
+        return {"params": self.state.params,
+                "batch_stats": self.state.batch_stats}
+
+    # ------------------------------------------------------------------
+    def train(self, epochs: Optional[int] = None,
+              eval_max_samples: Optional[int] = None) -> float:
+        cfg = self.cfg
+        epochs = epochs if epochs is not None else cfg.train.epochs_total
+        batch_size = cfg.train_input.batch_size
+        best_score = 0.0
+        step_count = 0
+        for epoch in range(epochs):
+            it = BatchIterator(
+                self.dataset, batch_size, shuffle=cfg.train_input.shuffle,
+                num_workers=cfg.train_input.num_workers,
+                prefetch_depth=cfg.train_input.prefetch_depth,
+                seed=cfg.train.seed + epoch)
+            t_epoch = time.time()
+            for batch in it:
+                self.state, metrics = self.step_fn(self.state, batch)
+                if step_count % cfg.train.log_every_steps == 0:
+                    self.logger.log_train_step(step_count, epoch, metrics)
+                if step_count % cfg.train.print_every_steps == 0:
+                    print(f"[train] epoch {epoch} step {step_count} "
+                          f"loss {float(metrics.loss):.4f} "
+                          f"lr {float(metrics.learning_rate):.6f}")
+                step_count += 1
+            print(f"[train] epoch {epoch} done in {time.time()-t_epoch:.1f}s")
+
+            if self.evaluator is not None:
+                ckpt.save_checkpoint(
+                    os.path.join(self.dirs["checkpoints"], "weights_temp.pkl"),
+                    self.state)
+                result, bev, d3, aos, score = self.evaluator.evaluate(
+                    self.variables(), max_samples=eval_max_samples)
+                self.logger.log_eval(step_count, d3, aos, bev, score)
+                print(f"[eval] epoch {epoch} score {score:.2f} "
+                      f"(best {best_score:.2f})")
+                with open(os.path.join(self.dirs["results"],
+                                       f"model_result_{epoch}.txt"), "w") as f:
+                    f.write(result)
+                if score > best_score:
+                    best_score = score
+                    ckpt.save_checkpoint(
+                        os.path.join(self.dirs["checkpoints"],
+                                     f"weights_{epoch}.pkl"),
+                        self.state, extra={"score": score, "epoch": epoch})
+        return best_score

@@ -1,0 +1,64 @@
+"""Stage timers with the reference's six stage names, plus jax.profiler
+trace capture.
+
+reference SURVEY §5.1: rolling last-10-sample windows for t_full_sample /
+t_preprocess / t_network / t_predict / t_anno / t_rviz (train.py:629-861)
+and the extended tier t_voxel_features / t_spatial_features / t_rpn /
+t_nms_func (voxelnet.py:753-903). Names are preserved so numbers are
+directly comparable to the reference logs.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict, deque
+from typing import Dict, Optional
+
+import jax
+
+STAGES = ("t_full_sample", "t_preprocess", "t_network", "t_predict",
+          "t_anno", "t_rviz")
+
+
+class StageTimer:
+    """Rolling-window wall-clock stage timer (window=10 like the reference)."""
+
+    def __init__(self, enabled: bool = True, window: int = 10,
+                 sync: bool = False):
+        self.enabled = enabled
+        self.window = window
+        self.sync = sync
+        self._hist: Dict[str, deque] = defaultdict(
+            lambda: deque(maxlen=window))
+
+    @contextlib.contextmanager
+    def stage(self, name: str):
+        if not self.enabled:
+            yield
+            return
+        t0 = time.perf_counter()
+        yield
+        self._hist[name].append((time.perf_counter() - t0) * 1e3)
+
+    def add(self, name: str, ms: float):
+        if self.enabled:
+            self._hist[name].append(ms)
+
+    def averages(self) -> Dict[str, float]:
+        return {k: sum(v) / len(v) for k, v in self._hist.items() if v}
+
+    def report(self) -> str:
+        msg = ", ".join(f"{k}: {v:.2f}" for k, v in self.averages().items())
+        print(msg)
+        return msg
+
+
+@contextlib.contextmanager
+def profiler_trace(log_dir: str):
+    """Capture a jax.profiler trace (view with tensorboard/xprof)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

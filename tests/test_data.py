@@ -1,0 +1,172 @@
+"""Data-layer tests on a hermetic synthetic dataset: info/database creation,
+pipeline output shapes, augmentation invariants (points follow their boxes)."""
+
+import pickle
+
+import numpy as np
+import pytest
+
+from pillars_tpu.config import Config
+from pillars_tpu.data import augment as aug
+from pillars_tpu.data import synthetic
+from pillars_tpu.data.pipeline import BatchIterator, PedestrianDataset
+from pillars_tpu.data.sampler import DataBaseSampler
+from pillars_tpu.geometry import np_boxes as nb
+
+
+@pytest.fixture(scope="module")
+def dataset_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    synthetic.generate_dataset(str(root), num_train=8, num_test=4, seed=0)
+    return str(root)
+
+
+def make_config(root):
+    cfg = Config.default()
+    cfg = cfg.override("model.voxel.max_points", 32768)
+    cfg = cfg.override("train_input.info_path", f"{root}/kitti_infos_train.pkl")
+    cfg = cfg.override("train_input.dataset_root", root)
+    cfg = cfg.override("train_input.sampler.info_path",
+                       f"{root}/kitti_dbinfos_train.pkl")
+    cfg = cfg.override("eval_input.info_path", f"{root}/kitti_infos_val.pkl")
+    cfg = cfg.override("eval_input.dataset_root", root)
+    return cfg
+
+
+class TestSyntheticPrep:
+    def test_info_file_keys(self, dataset_root):
+        with open(f"{dataset_root}/kitti_infos_train.pkl", "rb") as f:
+            infos = pickle.load(f)
+        assert len(infos) == 8
+        info = infos[0]
+        for key in ("image_idx", "velodyne_path", "calib/R0_rect",
+                    "calib/Tr_velo_to_cam", "calib/P2", "annos"):
+            assert key in info, key
+        annos = info["annos"]
+        for key in ("name", "truncated", "occluded", "alpha", "bbox",
+                    "dimensions", "location", "rotation_y", "difficulty",
+                    "index", "num_points_in_gt"):
+            assert key in annos, key
+        assert all(n == "Pedestrian" for n in annos["name"])
+        # pedestrians contain points
+        assert annos["num_points_in_gt"].min() > 0
+
+    def test_gt_label_roundtrip(self, dataset_root):
+        """Label file (camera) -> lidar must land pedestrians inside range."""
+        with open(f"{dataset_root}/kitti_infos_train.pkl", "rb") as f:
+            infos = pickle.load(f)
+        for info in infos[:4]:
+            annos = info["annos"]
+            gt_cam = np.concatenate(
+                [annos["location"], annos["dimensions"],
+                 annos["rotation_y"][..., None]], axis=1)
+            gt_lidar = nb.box_camera_to_lidar(
+                gt_cam, info["calib/R0_rect"], info["calib/Tr_velo_to_cam"])
+            assert np.all(gt_lidar[:, 0] > 0) and np.all(gt_lidar[:, 0] < 6.4)
+            assert np.all(np.abs(gt_lidar[:, 1]) < 2.56)
+            # dims stay positive and pedestrian-sized
+            assert np.all(gt_lidar[:, 3:6] > 0.3)
+            assert np.all(gt_lidar[:, 5] < 2.2)
+
+    def test_database_crops_centered(self, dataset_root):
+        with open(f"{dataset_root}/kitti_dbinfos_train.pkl", "rb") as f:
+            dbinfos = pickle.load(f)
+        assert "Pedestrian" in dbinfos and len(dbinfos["Pedestrian"]) > 0
+        info = dbinfos["Pedestrian"][0]
+        with open(f"{dataset_root}/{info['path']}", "rb") as f:
+            pts = pickle.load(f)
+        assert info["num_points_in_gt"] == len(pts)
+        assert len(pts) > 0
+        # crop is centered at the box origin
+        assert np.abs(pts[:, :2].mean(0)).max() < 1.0
+
+
+class TestPipeline:
+    def test_eval_sample_shapes(self, dataset_root):
+        cfg = make_config(dataset_root)
+        ds = PedestrianDataset(cfg, cfg.eval_input, training=False)
+        s = ds[0]
+        assert s["points"].shape == (32768, 3)
+        assert s["gt_boxes"].shape == (cfg.model.target.max_gt_boxes, 7)
+        assert s["gt_valid"].sum() >= 1
+        assert s["rect"].shape == (4, 4)
+        assert s["num_points"] > 100
+
+    def test_train_sample_augments(self, dataset_root):
+        cfg = make_config(dataset_root)
+        sampler = DataBaseSampler(cfg.train_input.sampler.info_path,
+                                  cfg.train_input.sampler,
+                                  rng=np.random.RandomState(1))
+        ds = PedestrianDataset(cfg, cfg.train_input, training=True,
+                               sampler=sampler,
+                               rng=np.random.RandomState(1))
+        s = ds[0]
+        # the sampler should paste extra pedestrians (sample_max_nums=8)
+        assert s["gt_valid"].sum() >= 2
+        # all valid gt inside the point-cloud range (center filter applied)
+        gtb = s["gt_boxes"][s["gt_valid"]]
+        assert np.all(gtb[:, 0] >= 0.0) and np.all(gtb[:, 0] <= 6.4)
+
+    def test_batch_iterator(self, dataset_root):
+        cfg = make_config(dataset_root)
+        ds = PedestrianDataset(cfg, cfg.eval_input, training=False)
+        it = BatchIterator(ds, batch_size=2, shuffle=False, num_workers=1)
+        batches = list(it)
+        assert len(batches) == 2
+        b = batches[0]
+        assert b["points"].shape == (2, 32768, 3)
+        assert b["gt_boxes"].shape[0] == 2
+        assert b["image_idx"].tolist() == [0, 1]
+
+    def test_iterator_deterministic_given_seed(self, dataset_root):
+        cfg = make_config(dataset_root)
+        ds = PedestrianDataset(cfg, cfg.eval_input, training=False)
+        a = list(BatchIterator(ds, 2, shuffle=True, seed=3))
+        b_ds = PedestrianDataset(cfg, cfg.eval_input, training=False)
+        b = list(BatchIterator(b_ds, 2, shuffle=True, seed=3))
+        np.testing.assert_array_equal(a[0]["image_idx"], b[0]["image_idx"])
+
+
+class TestAugmentInvariants:
+    def _scene(self, rng):
+        gt = np.array([[3.0, 0.5, -1.4, 0.6, 0.8, 1.7, 0.3],
+                       [1.5, -1.0, -1.4, 0.5, 0.7, 1.6, -0.8]],
+                      dtype=np.float32)
+        pts = []
+        for b in gt:
+            n = 200
+            p = np.zeros((n, 3), dtype=np.float32)
+            p[:, 0] = b[0] + rng.uniform(-0.2, 0.2, n)
+            p[:, 1] = b[1] + rng.uniform(-0.25, 0.25, n)
+            p[:, 2] = b[2] + rng.uniform(0.1, b[5] - 0.1, n)
+            pts.append(p)
+        return gt, np.concatenate(pts)
+
+    def test_flip_keeps_points_in_boxes(self, rng):
+        gt, pts = self._scene(rng)
+        inside_before = nb.points_in_rbbox(pts, gt).sum()
+        r = np.random.RandomState(0)
+        gt2, pts2 = aug.random_flip(gt.copy(), pts.copy(), 1.0, r)
+        assert nb.points_in_rbbox(pts2, gt2).sum() == inside_before
+
+    def test_global_transforms_keep_points_in_boxes(self, rng):
+        gt, pts = self._scene(rng)
+        inside_before = nb.points_in_rbbox(pts, gt).sum()
+        r = np.random.RandomState(0)
+        gt2, pts2 = aug.global_rotation(gt.copy(), pts.copy(), [-0.18, 0.18], r)
+        gt2, pts2 = aug.global_scaling(gt2, pts2, 0.95, 1.05, rng=r)
+        gt2, pts2 = aug.global_translate(gt2, pts2, [0.1, 0.1, 0.2], r)
+        assert nb.points_in_rbbox(pts2, gt2).sum() == inside_before
+
+    def test_per_object_noise_moves_points_with_boxes(self, rng):
+        cfg = Config.default().train_input.augment
+        gt, pts = self._scene(rng)
+        inside_before = nb.points_in_rbbox(pts, gt).sum()
+        r = np.random.RandomState(0)
+        gt2, pts2 = gt.copy(), pts.copy()
+        aug.noise_per_object(gt2, pts2, None, cfg, r)
+        # boxes moved
+        assert not np.allclose(gt2, gt)
+        # membership preserved (points followed their boxes)
+        inside_after = nb.points_in_rbbox(pts2, gt2).sum()
+        assert inside_after >= inside_before * 0.95

@@ -1,0 +1,176 @@
+"""KITTI AP evaluator tests on crafted scenes with known answers."""
+
+import numpy as np
+import pytest
+
+from pillars_tpu.eval import kitti_ap
+
+
+def make_anno(locs, dims, rots, names=None, scores=None, alphas=None,
+              bbox_h=200.0):
+    n = len(locs)
+    names = names or ["Pedestrian"] * n
+    bbox = np.zeros((n, 4))
+    bbox[:, 2] = 100.0
+    bbox[:, 3] = bbox_h  # tall enough for every difficulty
+    anno = {
+        "name": np.array(names),
+        "truncated": np.zeros(n),
+        "occluded": np.zeros(n, dtype=np.int64),
+        "alpha": np.array(alphas if alphas is not None else np.zeros(n)),
+        "bbox": bbox,
+        "dimensions": np.array(dims, dtype=np.float64).reshape(n, 3),
+        "location": np.array(locs, dtype=np.float64).reshape(n, 3),
+        "rotation_y": np.array(rots, dtype=np.float64).reshape(n),
+    }
+    if scores is not None:
+        anno["score"] = np.array(scores, dtype=np.float64)
+    else:
+        anno["score"] = np.ones(n)
+    return anno
+
+
+def scene(seed, n=3):
+    rng = np.random.RandomState(seed)
+    locs = np.stack([rng.uniform(-3, 3, n), rng.uniform(1.0, 1.5, n),
+                     rng.uniform(2, 6, n)], axis=1)
+    locs[:, 0] = np.linspace(-3, 3, n)  # keep boxes apart
+    dims = np.tile([0.8, 1.7, 0.6], (n, 1))
+    rots = rng.uniform(-np.pi, np.pi, n)
+    return locs, dims, rots
+
+
+class TestPerfectPredictions:
+    def test_ap_100(self):
+        gt_annos, dt_annos = [], []
+        for s in range(16):
+            locs, dims, rots = scene(s)
+            gt_annos.append(make_anno(locs, dims, rots))
+            dt_annos.append(make_anno(locs, dims, rots,
+                                      scores=[0.9, 0.8, 0.7]))
+        result, mAPbbox, mAPbev, mAP3d, mAPaos = \
+            kitti_ap.get_official_eval_result(
+                gt_annos, dt_annos, ["Pedestrian"], compute_bbox=False)
+        # perfect predictions: every threshold, every difficulty = 100
+        np.testing.assert_allclose(mAPbev[0], 100.0)
+        np.testing.assert_allclose(mAP3d[0], 100.0)
+        np.testing.assert_allclose(mAPaos[0], 100.0)
+        assert "bev  AP:100.00" in result
+
+    def test_aggregate_score(self):
+        gt_annos, dt_annos = [], []
+        for s in range(16):
+            locs, dims, rots = scene(s)
+            gt_annos.append(make_anno(locs, dims, rots))
+            dt_annos.append(make_anno(locs, dims, rots, scores=[0.9, 0.8, 0.7]))
+        _, _, bev, d3, aos = kitti_ap.get_official_eval_result(
+            gt_annos, dt_annos, ["Pedestrian"], compute_bbox=False)
+        score = kitti_ap.aggregate_eval_score(d3, aos, bev)
+        assert score == pytest.approx(100.0)
+
+
+class TestNoPredictions:
+    def test_ap_0(self):
+        gt_annos, dt_annos = [], []
+        for s in range(3):
+            locs, dims, rots = scene(s)
+            gt_annos.append(make_anno(locs, dims, rots))
+            dt_annos.append({
+                "name": np.array([]), "truncated": np.array([]),
+                "occluded": np.array([]), "alpha": np.array([]),
+                "bbox": np.zeros((0, 4)), "dimensions": np.zeros((0, 3)),
+                "location": np.zeros((0, 3)), "rotation_y": np.array([]),
+                "score": np.array([]),
+            })
+        _, _, mAPbev, mAP3d, _ = kitti_ap.get_official_eval_result(
+            gt_annos, dt_annos, ["Pedestrian"], compute_bbox=False)
+        np.testing.assert_allclose(mAPbev[0], 0.0)
+        np.testing.assert_allclose(mAP3d[0], 0.0)
+
+
+class TestPartialMatches:
+    def test_missed_gt_reduces_recall(self):
+        """Detect 2 of 3 objects per scene -> recall capped at 2/3, so AP
+        (41-pt, every 4th / 11) lands well below 100 but above 0."""
+        gt_annos, dt_annos = [], []
+        for s in range(16):
+            locs, dims, rots = scene(s)
+            gt_annos.append(make_anno(locs, dims, rots))
+            dt_annos.append(make_anno(locs[:2], dims[:2], rots[:2],
+                                      scores=[0.9, 0.8]))
+        _, _, mAPbev, mAP3d, _ = kitti_ap.get_official_eval_result(
+            gt_annos, dt_annos, ["Pedestrian"], compute_bbox=False)
+        assert 30.0 < mAPbev[0, 0, 0] < 75.0
+        # 3d equals bev here (identical boxes)
+        np.testing.assert_allclose(mAP3d[0, 0, 0], mAPbev[0, 0, 0])
+
+    def test_false_positives_reduce_precision(self):
+        gt_annos, dt_annos = [], []
+        for s in range(16):
+            locs, dims, rots = scene(s)
+            gt_annos.append(make_anno(locs, dims, rots))
+            # 3 correct + 3 hallucinated, interleaved scores
+            fake_locs = locs + np.array([0.0, 0.0, 30.0])
+            dt = make_anno(np.concatenate([locs, fake_locs]),
+                           np.concatenate([dims, dims]),
+                           np.concatenate([rots, rots]),
+                           scores=[0.9, 0.8, 0.7, 0.85, 0.75, 0.65])
+            dt_annos.append(dt)
+        _, _, mAPbev, _, _ = kitti_ap.get_official_eval_result(
+            gt_annos, dt_annos, ["Pedestrian"], compute_bbox=False)
+        assert mAPbev[0, 0, 0] < 100.0
+
+    def test_aos_penalizes_flipped_orientation(self):
+        gt_annos, dt_annos, dt_flipped = [], [], []
+        for s in range(16):
+            locs, dims, rots = scene(s)
+            alphas = np.array([0.3, -0.5, 1.0])
+            gt_annos.append(make_anno(locs, dims, rots, alphas=alphas))
+            dt_annos.append(make_anno(locs, dims, rots, alphas=alphas,
+                                      scores=[0.9, 0.8, 0.7]))
+            dt_flipped.append(make_anno(locs, dims, rots,
+                                        alphas=alphas + np.pi,
+                                        scores=[0.9, 0.8, 0.7]))
+        _, _, _, _, aos_good = kitti_ap.get_official_eval_result(
+            gt_annos, dt_annos, ["Pedestrian"], compute_bbox=False)
+        _, _, _, _, aos_bad = kitti_ap.get_official_eval_result(
+            gt_annos, dt_flipped, ["Pedestrian"], compute_bbox=False)
+        assert aos_good[0, 0, 0] == pytest.approx(100.0)
+        assert aos_bad[0, 0, 0] == pytest.approx(0.0, abs=1.0)
+
+    def test_score_ordering_matters(self):
+        """High-scored FPs hurt more than low-scored FPs."""
+        def build(fp_score):
+            gt_annos, dt_annos = [], []
+            for s in range(16):
+                locs, dims, rots = scene(s)
+                gt_annos.append(make_anno(locs, dims, rots))
+                fake = locs + np.array([0.0, 0.0, 30.0])
+                dt_annos.append(make_anno(
+                    np.concatenate([locs, fake[:1]]),
+                    np.concatenate([dims, dims[:1]]),
+                    np.concatenate([rots, rots[:1]]),
+                    scores=[0.9, 0.8, 0.7, fp_score]))
+            _, _, bev, _, _ = kitti_ap.get_official_eval_result(
+                gt_annos, dt_annos, ["Pedestrian"], compute_bbox=False)
+            return bev[0, 0, 0]
+        assert build(0.95) < build(0.1) + 1e-9
+
+
+class TestDifficultyFiltering:
+    def test_occluded_gt_ignored_at_easy(self):
+        gt_annos, dt_annos = [], []
+        for s in range(24):
+            locs, dims, rots = scene(s)
+            gt = make_anno(locs, dims, rots)
+            gt["occluded"] = np.array([2, 0, 0])  # first box hard-occluded
+            gt_annos.append(gt)
+            # detect only the two unoccluded boxes
+            dt_annos.append(make_anno(locs[1:], dims[1:], rots[1:],
+                                      scores=[0.9, 0.8]))
+        _, _, bev, _, _ = kitti_ap.get_official_eval_result(
+            gt_annos, dt_annos, ["Pedestrian"], compute_bbox=False)
+        # difficulty 0 (easy): occluded boxes ignored -> perfect score
+        assert bev[0, 0, 0] == pytest.approx(100.0)
+        # difficulty 2 (hard): occluded boxes count -> recall capped at 2/3
+        assert bev[0, 2, 0] < 75.0

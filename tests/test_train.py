@@ -1,0 +1,199 @@
+"""Train-subsystem tests: LR schedule + AdamW semantics vs. the reference's
+tfa formulas, freeze masks, one train step on the 8-device CPU mesh, the
+checkpoint round trip, and the streaming mailbox."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pillars_tpu.config import Config, OptimizerConfig
+from pillars_tpu.train import checkpoint as ckpt
+from pillars_tpu.train.optim import (exponential_decay_schedule, freeze_mask,
+                                     make_optimizer)
+
+
+class TestSchedule:
+    def test_exponential_decay_values(self):
+        cfg = OptimizerConfig(initial_learning_rate=0.002, decay_steps=7000,
+                              decay_factor=0.8, staircase=False)
+        sched = exponential_decay_schedule(cfg, batch_size=2)
+        # reference: lr = 0.002 * 0.8 ** (step / 3500)
+        assert float(sched(0)) == pytest.approx(0.002)
+        assert float(sched(3500)) == pytest.approx(0.002 * 0.8)
+        assert float(sched(7000)) == pytest.approx(0.002 * 0.64)
+
+    def test_staircase(self):
+        cfg = OptimizerConfig(staircase=True)
+        sched = exponential_decay_schedule(cfg, batch_size=2)
+        assert float(sched(3499)) == pytest.approx(0.002)
+        assert float(sched(3500)) == pytest.approx(0.0016)
+
+
+class TestAdamW:
+    def test_decoupled_weight_decay_not_scaled_by_lr(self):
+        """tfa.AdamW: var -= lr*adam_dir + wd*var. With a zero gradient and
+        zero adam state the update must be exactly -wd*param."""
+        cfg = OptimizerConfig(weight_decay=0.01)
+        params = {"w": jnp.ones((3,))}
+        tx = make_optimizer(cfg, batch_size=2)
+        state = tx.init(params)
+        grads = {"w": jnp.zeros((3,))}
+        updates, _ = tx.update(grads, state, params)
+        np.testing.assert_allclose(np.asarray(updates["w"]),
+                                   -0.01 * np.ones(3), rtol=1e-6)
+
+    def test_first_step_direction(self):
+        cfg = OptimizerConfig(weight_decay=0.0)
+        params = {"w": jnp.zeros((2,))}
+        tx = make_optimizer(cfg, batch_size=2)
+        state = tx.init(params)
+        grads = {"w": jnp.array([1.0, -1.0])}
+        updates, _ = tx.update(grads, state, params)
+        # first adam step ~ lr * sign(grad)
+        np.testing.assert_allclose(np.asarray(updates["w"]),
+                                   [-0.002, 0.002], rtol=1e-3)
+
+    def test_freeze_mask(self):
+        params = {"pfn": {"dense": {"kernel": jnp.ones(2)}},
+                  "rpn": {"conv_box": {"kernel": jnp.ones(2)}}}
+        mask = freeze_mask(params, ["pfn"])
+        assert mask["pfn"]["dense"]["kernel"] is False
+        assert mask["rpn"]["conv_box"]["kernel"] is True
+
+    def test_frozen_params_do_not_move(self):
+        cfg = OptimizerConfig(weight_decay=0.0, freeze_patterns=("a",))
+        params = {"a": jnp.ones(2), "b": jnp.ones(2)}
+        tx = make_optimizer(cfg, batch_size=2, params=params)
+        state = tx.init(params)
+        grads = {"a": jnp.ones(2), "b": jnp.ones(2)}
+        updates, _ = tx.update(grads, state, params)
+        new = optax.apply_updates(params, updates)
+        np.testing.assert_allclose(np.asarray(new["a"]), 1.0)
+        assert not np.allclose(np.asarray(new["b"]), 1.0)
+
+
+class TestMultichipTrainStep:
+    def test_one_step_on_cpu_mesh(self):
+        """Full fused train step over the 8-device mesh (the capability the
+        reference lacks entirely, SURVEY §2.4)."""
+        from pillars_tpu.models.detector import PillarsDetector
+        from pillars_tpu.parallel import make_mesh, shard_batch
+        from pillars_tpu.train.loop import create_train_state, make_train_step
+
+        cfg = Config.default()
+        cfg = cfg.override("model.voxel.max_voxels", 512)
+        cfg = cfg.override("model.voxel.max_points", 2048)
+        cfg = cfg.override("model.target.max_gt_boxes", 4)
+        det = PillarsDetector(cfg)
+        mesh = make_mesh(8)
+        bs = 8
+        state, tx = create_train_state(det, jax.random.PRNGKey(0), bs)
+        step = make_train_step(det, tx, donate=False)
+        rng = np.random.RandomState(0)
+        n = 300
+        points = np.zeros((bs, 2048, 3), np.float32)
+        points[:, :n, 0] = rng.uniform(0, 6.4, (bs, n))
+        points[:, :n, 1] = rng.uniform(-2.5, 2.5, (bs, n))
+        points[:, :n, 2] = rng.uniform(-2.9, 0.5, (bs, n))
+        gt = np.zeros((bs, 4, 7), np.float32)
+        gt[..., 3:6] = 1.0
+        gt[:, 0] = [3.0, 0.0, -1.5, 0.6, 0.8, 1.73, 0.3]
+        batch = dict(points=points,
+                     num_points=np.full((bs,), n, np.int32),
+                     gt_boxes=gt,
+                     gt_classes=np.ones((bs, 4), np.int32),
+                     gt_valid=np.pad(np.ones((bs, 1), bool), ((0, 0), (0, 3))))
+        with mesh:
+            batch = shard_batch(batch, mesh)
+            state2, metrics = step(state, batch)
+        assert np.isfinite(float(metrics.loss))
+        assert int(state2.step) == 1
+        # params actually changed
+        w_old = jax.tree_util.tree_leaves(state.params)[0]
+        w_new = jax.tree_util.tree_leaves(state2.params)[0]
+        assert not np.allclose(np.asarray(w_old), np.asarray(w_new))
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        state = {"params": {"w": jnp.arange(4.0)}, "step": jnp.int32(7)}
+        path = str(tmp_path / "ckpt.pkl")
+        ckpt.save_checkpoint(path, state, extra={"score": 1.5})
+        loaded, extra = ckpt.load_checkpoint(path)
+        np.testing.assert_allclose(loaded["params"]["w"], [0, 1, 2, 3])
+        assert extra["score"] == 1.5
+
+    def test_out_dirs_auto_increment(self, tmp_path):
+        d1 = ckpt.create_out_dirs(str(tmp_path), "1")
+        d2 = ckpt.create_out_dirs(str(tmp_path), "1")
+        assert d1["model_id"] == "1"
+        assert d2["model_id"] == "2"
+        assert os.path.isdir(d2["checkpoints"])
+
+
+class TestMailbox:
+    def test_latest_wins_and_skip_count(self):
+        from pillars_tpu.data.stream import LatestFrameMailbox
+
+        mb = LatestFrameMailbox()
+        mb.publish("a")
+        mb.publish("b")
+        mb.publish("c")
+        frame, skipped = mb.take(timeout=0.1)
+        assert frame == "c"
+        assert skipped == 2
+        # nothing new -> timeout
+        frame, skipped = mb.take(timeout=0.05)
+        assert frame is None
+
+    def test_close_unblocks(self):
+        import threading
+
+        from pillars_tpu.data.stream import LatestFrameMailbox
+
+        mb = LatestFrameMailbox()
+        results = []
+
+        def consumer():
+            results.append(mb.take(timeout=5.0))
+
+        t = threading.Thread(target=consumer)
+        t.start()
+        mb.close()
+        t.join(timeout=2.0)
+        assert results == [(None, 0)]
+
+    def test_threaded_producer_consumer(self):
+        import threading
+        import time
+
+        from pillars_tpu.data.stream import LatestFrameMailbox
+
+        mb = LatestFrameMailbox()
+
+        def producer():
+            for i in range(200):
+                mb.publish(i)
+                time.sleep(0.0005)
+            mb.close()
+
+        t = threading.Thread(target=producer)
+        t.start()
+        got, skipped_total = [], 0
+        while True:
+            frame, skipped = mb.take(timeout=1.0)
+            if frame is None:
+                break
+            got.append(frame)
+            skipped_total += skipped
+            time.sleep(0.002)  # slow consumer -> frames drop
+        t.join()
+        assert got == sorted(got)          # monotonically newer
+        assert got[-1] == 199              # last frame always delivered
+        assert len(got) + skipped_total == 200
