@@ -83,17 +83,31 @@ class AnchorConfig:
     rotations: Tuple[float, ...] = (0.0, 1.57)
     matched_threshold: float = 0.5
     unmatched_threshold: float = 0.35
+    class_name: str = "Pedestrian"
+
+    @property
+    def num_per_loc(self) -> int:
+        n_size = len(np.array(self.sizes).reshape(-1, 3))
+        return n_size * len(self.rotations)
 
 
 @dataclass
 class TargetAssignerConfig:
-    """reference configs/train.yaml:183-200."""
+    """reference configs/train.yaml:183-200. Multi-class models list one
+    AnchorConfig per class in ``anchor_generators`` (interleaved per
+    location like reference generate_anchors, load_data.py:1680);
+    single-class models just use ``anchor``."""
 
     anchor: AnchorConfig = field(default_factory=AnchorConfig)
+    anchor_generators: Tuple[AnchorConfig, ...] = ()
     sample_positive_fraction: Optional[float] = None
     rpn_batch_size: int = 512
     # TPU addition: static padded ground-truth box count per sample.
     max_gt_boxes: int = 24
+
+    @property
+    def generators(self) -> Tuple[AnchorConfig, ...]:
+        return self.anchor_generators or (self.anchor,)
 
 
 @dataclass
@@ -176,9 +190,7 @@ class ModelConfig:
 
     @property
     def num_anchors_per_loc(self) -> int:
-        n_rot = len(self.target.anchor.rotations)
-        n_size = len(np.array(self.target.anchor.sizes).reshape(-1, 3))
-        return n_rot * n_size
+        return sum(g.num_per_loc for g in self.target.generators)
 
     @property
     def num_anchors(self) -> int:
@@ -305,8 +317,15 @@ class Config:
             if len(parts) == 1:
                 cur = getattr(obj, parts[0])
                 val = value
-                if isinstance(cur, tuple) and isinstance(val, (list, tuple)):
-                    val = tuple(val)
+                if parts[0] == "anchor_generators" and isinstance(val, (list, tuple)):
+                    val = tuple(
+                        g if isinstance(g, AnchorConfig) else AnchorConfig(
+                            **{k: tuple(v) if isinstance(v, list) else v
+                               for k, v in g.items()})
+                        for g in val)
+                elif isinstance(cur, tuple) and isinstance(val, (list, tuple)):
+                    val = tuple(tuple(v) if isinstance(v, list) else v
+                                for v in val)
                 return dataclasses.replace(obj, **{parts[0]: val})
             child = getattr(obj, parts[0])
             return dataclasses.replace(obj, **{parts[0]: rec(child, parts[1:])})

@@ -50,6 +50,7 @@ class PedestrianDataset:
         self.desired = list(reader.desired_objects)
         self.max_points = cfg.model.voxel.max_points
         self.max_gt = cfg.model.target.max_gt_boxes
+        self.num_features = cfg.model.num_point_features
         self.pcr = np.asarray(cfg.model.voxel.point_cloud_range)
 
     def __len__(self):
@@ -58,12 +59,18 @@ class PedestrianDataset:
     # ------------------------------------------------------------------
     def _load_points(self, info) -> np.ndarray:
         path = f"{self.root}/{info['velodyne_path']}"
+        nf = self.num_features
         if path.endswith(".bin"):
-            return np.fromfile(path, dtype=np.float32).reshape(
-                -1, info.get("pointcloud_num_features", 4))[:, :3]
-        with open(path[:-3] + "pkl", "rb") as f:
-            return np.asarray(pickle.load(f, encoding="latin1"),
-                              dtype=np.float32)[:, :3]
+            raw = np.fromfile(path, dtype=np.float32).reshape(
+                -1, info.get("pointcloud_num_features", 4))
+        else:
+            with open(path[:-3] + "pkl", "rb") as f:
+                raw = np.asarray(pickle.load(f, encoding="latin1"),
+                                 dtype=np.float32)
+        if raw.shape[1] < nf:  # pad missing features (e.g. no intensity)
+            raw = np.concatenate(
+                [raw, np.zeros((len(raw), nf - raw.shape[1]), np.float32)], 1)
+        return raw[:, :nf]
 
     # ------------------------------------------------------------------
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
@@ -143,8 +150,8 @@ class PedestrianDataset:
     def _pack(self, points, gt_boxes, gt_classes, rect, trv2c, p2, image_idx,
               image_shape) -> Dict[str, np.ndarray]:
         n = min(len(points), self.max_points)
-        pts = np.zeros((self.max_points, 3), dtype=np.float32)
-        pts[:n] = points[:n, :3]
+        pts = np.zeros((self.max_points, self.num_features), dtype=np.float32)
+        pts[:n] = points[:n, :self.num_features]
         g = min(len(gt_boxes), self.max_gt)
         gtb = np.zeros((self.max_gt, 7), dtype=np.float32)
         gtb[:, 3:6] = 1.0  # benign pad dims (log-encode safe)

@@ -475,6 +475,63 @@ def get_official_eval_result(gt_annos, dt_annos, current_classes,
     return s.getvalue(), mAPbbox, mAPbev, mAP3d, mAPaos
 
 
+# [start, stop, num] per class (reference eval.py:941-951)
+_COCO_CLASS_RANGE = {
+    0: [0.5, 0.95, 10], 1: [0.25, 0.7, 10], 2: [0.25, 0.7, 10],
+    3: [0.5, 0.95, 10], 4: [0.25, 0.7, 10], 5: [0.5, 0.95, 10],
+    6: [0.5, 0.95, 10], 7: [0.5, 0.95, 10],
+}
+
+
+def get_coco_eval_result(gt_annos, dt_annos, current_classes,
+                         compute_bbox: bool = True):
+    """COCO-style AP averaged over an IoU range (reference
+    get_coco_eval_result + do_coco_style_eval, eval.py:755-775, :920-997)."""
+    if not isinstance(current_classes, (list, tuple)):
+        current_classes = [current_classes]
+    current_classes = [NAME_TO_CLASS[c] if isinstance(c, str) else c
+                       for c in current_classes]
+    overlap_ranges = np.zeros([3, 3, len(current_classes)])
+    for i, curcls in enumerate(current_classes):
+        overlap_ranges[:, :, i] = np.array(
+            _COCO_CLASS_RANGE[curcls])[:, np.newaxis]
+    min_overlaps = np.zeros([10, 3, len(current_classes)])
+    for i in range(overlap_ranges.shape[1]):
+        for j in range(overlap_ranges.shape[2]):
+            lo, hi, num = overlap_ranges[:, i, j]
+            min_overlaps[:, i, j] = np.linspace(lo, hi, int(num))
+    compute_aos = False
+    for anno in dt_annos:
+        if anno["alpha"].shape[0] != 0:
+            if anno["alpha"][0] != -10:
+                compute_aos = True
+            break
+    mAPbbox, mAPbev, mAP3d, mAPaos = do_eval(
+        gt_annos, dt_annos, current_classes, min_overlaps, compute_aos,
+        compute_bbox=compute_bbox)
+    take = lambda m: None if m is None else m.mean(-1)
+    s = io.StringIO()
+    class_names_cap = {v: k for k, v in NAME_TO_CLASS.items()}
+    bbox_m, bev_m, d3_m = take(mAPbbox), take(mAPbev), take(mAP3d)
+    aos_m = take(mAPaos)
+    for j, curcls in enumerate(current_classes):
+        lo, hi, num = overlap_ranges[:, 0, j]
+        step = (hi - lo) / (num - 1)
+        print(f"{class_names_cap[curcls]} "
+              f"coco AP@{lo:.2f}:{step:.2f}:{hi:.2f}:", file=s)
+        if bbox_m is not None:
+            print(f"bbox AP:{bbox_m[j, 0]:.2f}, {bbox_m[j, 1]:.2f}, "
+                  f"{bbox_m[j, 2]:.2f}", file=s)
+        print(f"bev  AP:{bev_m[j, 0]:.2f}, {bev_m[j, 1]:.2f}, "
+              f"{bev_m[j, 2]:.2f}", file=s)
+        print(f"3d   AP:{d3_m[j, 0]:.2f}, {d3_m[j, 1]:.2f}, "
+              f"{d3_m[j, 2]:.2f}", file=s)
+        if aos_m is not None:
+            print(f"aos  AP:{aos_m[j, 0]:.2f}, {aos_m[j, 1]:.2f}, "
+                  f"{aos_m[j, 2]:.2f}", file=s)
+    return s.getvalue(), bbox_m, bev_m, d3_m, aos_m
+
+
 def aggregate_eval_score(mAP3d, mAPaos, mAPbev) -> float:
     """The reference's checkpoint-gating score:
     (sum(3d) + sum(aos) + sum(bev)) / 18 over the 6 thresholds

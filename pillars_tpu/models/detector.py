@@ -77,6 +77,8 @@ class PillarsDetector:
     def __init__(self, config: Config, dtype: Optional[jnp.dtype] = None):
         self.config = config
         self.mcfg = config.model
+        if dtype is None and config.runtime.compute_dtype == "bfloat16":
+            dtype = jnp.bfloat16
         self.dtype = dtype
         self.anchor_set: AnchorSet = build_anchors(self.mcfg)
         self.network = _Network(self.mcfg, dtype=dtype)

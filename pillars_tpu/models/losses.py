@@ -109,8 +109,11 @@ def detection_loss(cfg: LossConfig, num_class: int, box_preds, cls_preds,
     reference model/voxelnet.py:922-1049 + train.yaml weights
     (loc 1.5 / cls 1.0 / dir 0.5)."""
     batch_size = labels.shape[0]
-    box_preds = box_preds.reshape(batch_size, -1, 7)
-    cls_preds = cls_preds.reshape(batch_size, -1, num_class)
+    # losses always in f32, independent of the network compute dtype
+    box_preds = box_preds.astype(jnp.float32).reshape(batch_size, -1, 7)
+    cls_preds = cls_preds.astype(jnp.float32).reshape(batch_size, -1, num_class)
+    if dir_preds is not None:
+        dir_preds = dir_preds.astype(jnp.float32)
     cls_weights, reg_weights, cared = prepare_loss_weights(labels, cfg)
     cls_targets = labels * cared.astype(labels.dtype)
 
@@ -130,9 +133,13 @@ def detection_loss(cfg: LossConfig, num_class: int, box_preds, cls_preds,
     cls_loss_reduced = jnp.sum(cls_loss) / batch_size * cfg.classification_weight
 
     # debug-only pos/neg split (reference model/voxelnet.py:48-61)
-    cls_flat = cls_loss.reshape(batch_size, -1)
-    cls_pos = jnp.sum((labels > 0) * cls_flat) / batch_size
-    cls_neg = jnp.sum((labels == 0) * cls_flat) / batch_size
+    if num_class == 1:
+        cls_flat = cls_loss.reshape(batch_size, -1)
+        cls_pos = jnp.sum((labels > 0) * cls_flat) / batch_size
+        cls_neg = jnp.sum((labels == 0) * cls_flat) / batch_size
+    else:
+        cls_pos = jnp.sum(cls_loss[..., 1:]) / batch_size
+        cls_neg = jnp.sum(cls_loss[..., 0]) / batch_size
 
     loss = loc_loss_reduced + cls_loss_reduced
 

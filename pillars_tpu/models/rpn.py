@@ -23,29 +23,40 @@ from pillars_tpu.models.layers import SeparableConv, he_uniform
 
 
 class _Block(nn.Module):
-    """One downsample block: strided conv + n same convs, BN+ReLU each."""
+    """One downsample block: strided conv + n same convs, BN+ReLU each.
+
+    ``separable`` follows the reference's SeparableConv2D customization
+    (voxelnet.py:576); set model.rpn.use_separable_conv=false for plain 3x3
+    convs — on TPU the MXU makes full convs at these channel counts both
+    faster and stronger, the depthwise split only pays off on edge GPUs."""
 
     features: int
     num_layers: int
     stride: int
     bn_momentum: float
     bn_eps: float
+    separable: bool = True
     dtype: Optional[jnp.dtype] = None
+
+    def _conv(self, x, stride, padding, name):
+        if self.separable:
+            return SeparableConv(self.features, 3, stride, padding=padding,
+                                 dtype=self.dtype, name=name)(x)
+        return nn.Conv(self.features, (3, 3), strides=(stride, stride),
+                       padding=padding, use_bias=False,
+                       kernel_init=he_uniform, dtype=self.dtype, name=name)(x)
 
     @nn.compact
     def __call__(self, x, train: bool):
         # explicit ((1,1),(1,1)) zero pad + VALID conv == keras
         # ZeroPadding2D + SeparableConv2D(valid) (voxelnet.py:574-576)
-        x = SeparableConv(self.features, 3, self.stride,
-                          padding=((1, 1), (1, 1)), dtype=self.dtype,
-                          name="conv0")(x)
+        x = self._conv(x, self.stride, ((1, 1), (1, 1)), "conv0")
         x = nn.BatchNorm(use_running_average=not train,
                          momentum=self.bn_momentum, epsilon=self.bn_eps,
                          dtype=self.dtype, name="bn0")(x)
         x = nn.relu(x)
         for i in range(self.num_layers):
-            x = SeparableConv(self.features, 3, 1, padding="SAME",
-                              dtype=self.dtype, name=f"conv{i + 1}")(x)
+            x = self._conv(x, 1, "SAME", f"conv{i + 1}")
             x = nn.BatchNorm(use_running_average=not train,
                              momentum=self.bn_momentum, epsilon=self.bn_eps,
                              dtype=self.dtype, name=f"bn{i + 1}")(x)
@@ -89,6 +100,7 @@ class RPN(nn.Module):
         for i in range(3):
             x = _Block(rcfg.num_filters[i], rcfg.layer_nums[i],
                        rcfg.layer_strides[i], rcfg.bn_momentum, rcfg.bn_eps,
+                       separable=rcfg.use_separable_conv,
                        dtype=self.dtype, name=f"block{i + 1}")(x, train)
             ups.append(
                 _Deconv(rcfg.num_upsample_filters[i], rcfg.upsample_strides[i],

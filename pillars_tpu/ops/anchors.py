@@ -68,16 +68,36 @@ def create_anchors_3d_stride(feature_size, sizes, strides, offsets, rotations,
 def build_anchors(cfg: ModelConfig) -> AnchorSet:
     """All static anchor data for a model config.
 
-    reference load_data.py:1641-1685 (generate_anchors) +
-    the static halves of load_data.py:3040-3072."""
-    a = cfg.target.anchor
+    reference load_data.py:1641-1685 (generate_anchors; multiple generators
+    concatenate on the per-location axis BEFORE flattening, so anchors of
+    different classes interleave per location — matching the head-channel
+    reshape) + the static halves of load_data.py:3040-3072."""
     feature_map_size = list(cfg.feature_map_size)  # [1, ny, nx]
-    anchors = create_anchors_3d_stride(
-        feature_map_size, a.sizes, a.strides, a.offsets, a.rotations)
+    anchors_list, match_list, unmatch_list = [], [], []
+    for g in cfg.target.generators:
+        a = create_anchors_3d_stride(
+            feature_map_size, g.sizes, g.strides, g.offsets, g.rotations)
+        a = a.reshape([*a.shape[:3], -1, 7])  # [ny, nx, 1?, per_loc, 7]
+        anchors_list.append(a)
+        n = int(np.prod(a.shape[:-1]))
+        match_list.append(np.full([n], g.matched_threshold, np.float32))
+        unmatch_list.append(np.full([n], g.unmatched_threshold, np.float32))
+    anchors = np.concatenate(anchors_list, axis=-2)
     anchors = anchors.reshape([-1, 7]).astype(np.float32)
     num = anchors.shape[0]
-    matched = np.full([num], a.matched_threshold, np.float32)
-    unmatched = np.full([num], a.unmatched_threshold, np.float32)
+    if len(anchors_list) == 1:
+        matched = match_list[0]
+        unmatched = unmatch_list[0]
+    else:
+        # re-interleave thresholds to match the per-location anchor order
+        per_loc = [a.shape[-2] for a in anchors_list]
+        n_loc = num // sum(per_loc)
+        matched = np.concatenate(
+            [m.reshape(n_loc, p) for m, p in zip(match_list, per_loc)],
+            axis=1).reshape(-1).astype(np.float32)
+        unmatched = np.concatenate(
+            [m.reshape(n_loc, p) for m, p in zip(unmatch_list, per_loc)],
+            axis=1).reshape(-1).astype(np.float32)
 
     standup_bv = nb.rbbox2d_to_near_bbox(anchors[:, [0, 1, 3, 4, 6]])
 

@@ -47,9 +47,10 @@ class Evaluator:
         self.class_names = list(cfg.eval_input.desired_objects)
         self.measure_time = measure_time
 
-    def run(self, variables, max_samples: Optional[int] = None
-            ) -> Tuple[List[Dict], List[Dict]]:
-        """Returns (dt_annos, gt_annos)."""
+    def run(self, variables, max_samples: Optional[int] = None,
+            save_path: Optional[str] = None) -> Tuple[List[Dict], List[Dict]]:
+        """Returns (dt_annos, gt_annos). ``save_path`` pickles the dt_annos
+        like the reference's per-epoch result.pkl (train.py:867-873)."""
         batch_size = self.cfg.eval_input.batch_size
         it = BatchIterator(self.dataset, batch_size, shuffle=False,
                            num_workers=self.cfg.eval_input.num_workers,
@@ -73,12 +74,16 @@ class Evaluator:
                 break
         if self.measure_time:
             timer.report()
+        if save_path:
+            with open(save_path, "wb") as f:
+                pickle.dump(dt_annos, f, 2)
         gt_annos = infos_to_gt_annos(self.dataset.infos)[: len(dt_annos)]
         return dt_annos, gt_annos
 
-    def evaluate(self, variables, max_samples: Optional[int] = None):
+    def evaluate(self, variables, max_samples: Optional[int] = None,
+                 save_path: Optional[str] = None):
         """Returns (result_str, mAPbev, mAP3d, mAPaos, score)."""
-        dt_annos, gt_annos = self.run(variables, max_samples)
+        dt_annos, gt_annos = self.run(variables, max_samples, save_path)
         result, _, mAPbev, mAP3d, mAPaos = kitti_ap.get_official_eval_result(
             gt_annos, dt_annos, self.class_names, compute_bbox=False)
         score = kitti_ap.aggregate_eval_score(mAP3d, mAPaos, mAPbev)
@@ -122,20 +127,44 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def train(self, epochs: Optional[int] = None,
-              eval_max_samples: Optional[int] = None) -> float:
+              eval_max_samples: Optional[int] = None,
+              overfit_first_batch: bool = False,
+              replay_batch_file: Optional[str] = None,
+              save_batch_file: Optional[str] = None) -> float:
+        """Debug fixtures mirror the reference test strategy (SURVEY §4):
+        ``overfit_first_batch`` repeats the first batch 100x per epoch
+        (reference take_first, train.py:249), ``replay_batch_file`` trains on
+        one pickled batch (from_file_mode, train.py:248-256),
+        ``save_batch_file`` records the first batch for later replay."""
         cfg = self.cfg
         epochs = epochs if epochs is not None else cfg.train.epochs_total
         batch_size = cfg.train_input.batch_size
         best_score = 0.0
         step_count = 0
+
+        fixed_batch = None
+        if replay_batch_file:
+            with open(replay_batch_file, "rb") as f:
+                fixed_batch = pickle.load(f)
+
         for epoch in range(epochs):
-            it = BatchIterator(
-                self.dataset, batch_size, shuffle=cfg.train_input.shuffle,
-                num_workers=cfg.train_input.num_workers,
-                prefetch_depth=cfg.train_input.prefetch_depth,
-                seed=cfg.train.seed + epoch)
+            if fixed_batch is not None:
+                it = [fixed_batch] * 100
+            elif overfit_first_batch:
+                first = next(iter(BatchIterator(
+                    self.dataset, batch_size, shuffle=False, num_workers=1)))
+                it = [first] * 100
+            else:
+                it = BatchIterator(
+                    self.dataset, batch_size, shuffle=cfg.train_input.shuffle,
+                    num_workers=cfg.train_input.num_workers,
+                    prefetch_depth=cfg.train_input.prefetch_depth,
+                    seed=cfg.train.seed + epoch)
             t_epoch = time.time()
             for batch in it:
+                if save_batch_file and step_count == 0:
+                    with open(save_batch_file, "wb") as f:
+                        pickle.dump(jax.device_get(batch), f, 2)
                 self.state, metrics = self.step_fn(self.state, batch)
                 if step_count % cfg.train.log_every_steps == 0:
                     self.logger.log_train_step(step_count, epoch, metrics)
@@ -151,7 +180,9 @@ class Trainer:
                     os.path.join(self.dirs["checkpoints"], "weights_temp.pkl"),
                     self.state)
                 result, bev, d3, aos, score = self.evaluator.evaluate(
-                    self.variables(), max_samples=eval_max_samples)
+                    self.variables(), max_samples=eval_max_samples,
+                    save_path=os.path.join(self.dirs["results"],
+                                           f"result_{epoch}.pkl"))
                 self.logger.log_eval(step_count, d3, aos, bev, score)
                 print(f"[eval] epoch {epoch} score {score:.2f} "
                       f"(best {best_score:.2f})")

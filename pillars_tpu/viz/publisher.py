@@ -1,0 +1,161 @@
+"""Publisher interface: 3D boxes / pointclouds to RVIZ, disk, or nowhere.
+
+reference libraries/eval_helper_functions.py:73-145 (send_3d_bbox),
+train.py:643-682 (topic setup: bb_pred_guess_1, bb_ground_truth,
+debug_points, bb_pub_confidenceMap), load_data.py:2063-2085
+(debug_save_points publishers).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+@dataclass
+class BoxArray:
+    """Detections/annotations in lidar frame: centers [N,3], dims [N,3]
+    (w, l, h), yaw [N], optional confidences [N]."""
+
+    centers: np.ndarray
+    dims: np.ndarray
+    yaws: np.ndarray
+    confidences: Optional[np.ndarray] = None
+
+    @classmethod
+    def from_boxes7(cls, boxes: np.ndarray,
+                    confidences: Optional[np.ndarray] = None) -> "BoxArray":
+        boxes = np.asarray(boxes).reshape(-1, 7)
+        return cls(boxes[:, :3], boxes[:, 3:6], boxes[:, 6], confidences)
+
+
+class NullPublisher:
+    def publish_boxes(self, topic: str, boxes: BoxArray) -> None:
+        pass
+
+    def publish_points(self, topic: str, points: np.ndarray) -> None:
+        pass
+
+
+class OfflinePublisher:
+    """Record published topics to <out_dir>/<topic>/<seq>.pkl — replayable
+    by viz/plot.py or any external viewer; replaces RVIZ for headless runs."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        self._seq: Dict[str, int] = {}
+        os.makedirs(out_dir, exist_ok=True)
+
+    def _path(self, topic: str) -> str:
+        d = os.path.join(self.out_dir, topic)
+        os.makedirs(d, exist_ok=True)
+        seq = self._seq.get(topic, 0)
+        self._seq[topic] = seq + 1
+        return os.path.join(d, f"{seq:06d}.pkl")
+
+    def publish_boxes(self, topic: str, boxes: BoxArray) -> None:
+        with open(self._path(topic), "wb") as f:
+            pickle.dump({
+                "t": time.time(),
+                "centers": np.asarray(boxes.centers),
+                "dims": np.asarray(boxes.dims),
+                "yaws": np.asarray(boxes.yaws),
+                "confidences": (np.asarray(boxes.confidences)
+                                if boxes.confidences is not None else None),
+            }, f, 2)
+
+    def publish_points(self, topic: str, points: np.ndarray) -> None:
+        with open(self._path(topic), "wb") as f:
+            pickle.dump(np.asarray(points), f, 2)
+
+
+class RosPublisher:
+    """jsk_recognition_msgs BoundingBoxArray publishers, matching the
+    reference topics and the quaternion convention
+    (eval_helper_functions.py:107-145: R.from_euler('z', -yaw))."""
+
+    def __init__(self, frame_id: str = "camera_color_frame"):
+        import rospy  # noqa: F401  (raises if ROS absent)
+        import std_msgs
+        from jsk_recognition_msgs.msg import BoundingBox, BoundingBoxArray
+        from scipy.spatial.transform import Rotation as R
+        import sensor_msgs.point_cloud2 as pc2
+        from sensor_msgs.msg import PointField
+
+        self._rospy = rospy
+        self._BoundingBox = BoundingBox
+        self._BoundingBoxArray = BoundingBoxArray
+        self._R = R
+        self._pc2 = pc2
+        self._PointField = PointField
+        self._std_msgs = std_msgs
+        self.frame_id = frame_id
+        self._pubs: Dict[str, object] = {}
+        if rospy.get_node_uri() is None:
+            rospy.init_node("pillars_tpu", anonymous=True)
+
+    def _pub(self, topic, msg_type):
+        if topic not in self._pubs:
+            self._pubs[topic] = self._rospy.Publisher(
+                topic, msg_type, queue_size=10)
+        return self._pubs[topic]
+
+    def publish_boxes(self, topic: str, boxes: BoxArray) -> None:
+        arr = self._BoundingBoxArray()
+        header = self._std_msgs.msg.Header()
+        header.stamp = self._rospy.Time.now()
+        header.frame_id = self.frame_id
+        arr.header = header
+        for i in range(len(boxes.centers)):
+            b = self._BoundingBox()
+            b.header.stamp = self._rospy.Time.now()
+            b.header.frame_id = self.frame_id
+            b.pose.position.x = float(boxes.centers[i][0])
+            b.pose.position.y = float(boxes.centers[i][1])
+            b.pose.position.z = float(boxes.centers[i][2])
+            q = self._R.from_euler("z", -float(boxes.yaws[i])).as_quat()
+            b.pose.orientation.x = q[0]
+            b.pose.orientation.y = q[1]
+            b.pose.orientation.z = q[2]
+            b.pose.orientation.w = q[3]
+            b.dimensions.x = float(boxes.dims[i][0])
+            b.dimensions.y = float(boxes.dims[i][1])
+            b.dimensions.z = float(boxes.dims[i][2])
+            if boxes.confidences is not None:
+                b.value = max(-10.0, float(boxes.confidences[i]))
+            arr.boxes.append(b)
+        self._pub(topic, self._BoundingBoxArray).publish(arr)
+
+    def publish_points(self, topic: str, points: np.ndarray) -> None:
+        from sensor_msgs.msg import PointCloud2
+
+        header = self._std_msgs.msg.Header()
+        header.stamp = self._rospy.Time.now()
+        header.frame_id = self.frame_id
+        fields = [
+            self._PointField("x", 0, self._PointField.FLOAT32, 1),
+            self._PointField("y", 4, self._PointField.FLOAT32, 1),
+            self._PointField("z", 8, self._PointField.FLOAT32, 1),
+        ]
+        msg = self._pc2.create_cloud(header, fields, points[:, :3])
+        self._pub(topic, PointCloud2).publish(msg)
+
+
+def make_publisher(kind: str = "auto", out_dir: Optional[str] = None):
+    """kind: 'ros' | 'offline' | 'null' | 'auto' (ros if available, else
+    offline when out_dir given, else null)."""
+    if kind in ("ros", "auto"):
+        try:
+            return RosPublisher()
+        except Exception:
+            if kind == "ros":
+                raise
+    if kind in ("offline", "auto") and out_dir:
+        return OfflinePublisher(out_dir)
+    return NullPublisher()
