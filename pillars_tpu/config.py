@@ -118,6 +118,9 @@ class PFNConfig:
     with_distance: bool = False
     bn_eps: float = 1e-3  # reference model/pointpillars.py:109
     bn_momentum: float = 0.01  # keras momentum (decay of the moving average)
+    # point-major PFN (bandwidth-optimal, numerically equivalent); the dense
+    # [P, N, C] path remains available for cross-checking (models/pfn.py)
+    pointwise: bool = True
 
 
 @dataclass

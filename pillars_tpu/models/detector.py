@@ -24,13 +24,13 @@ import numpy as np
 from pillars_tpu.config import Config, ModelConfig
 from pillars_tpu.geometry import boxes as gb
 from pillars_tpu.models.losses import LossOutput, detection_loss
-from pillars_tpu.models.pfn import PillarFeatureNet
+from pillars_tpu.models.pfn import PillarFeatureNet, PointwisePFN
 from pillars_tpu.models.rpn import RPN
 from pillars_tpu.ops.anchors import AnchorSet, anchors_mask_batched, build_anchors
 from pillars_tpu.ops.nms import nms_standup
 from pillars_tpu.ops.scatter import scatter_to_canvas_batched
 from pillars_tpu.ops.targets import assign_targets_batched
-from pillars_tpu.ops.voxelize import make_voxelizer
+from pillars_tpu.ops.voxelize import make_point_voxelizer, make_voxelizer
 
 from flax import linen as nn
 
@@ -46,24 +46,36 @@ class Predictions(NamedTuple):
 
 
 class _Network(nn.Module):
-    """PFN + scatter + RPN over a voxelized batch."""
+    """PFN + scatter + RPN over a voxelized batch.
+
+    The batch is folded into the pillar/point axis before the PFN: it is
+    purely per-pillar, so one big matmul serves the whole batch and the
+    masked BN statistics span the batch's real pillars — exactly matching
+    the reference's ragged concat layout (load_data.py:2190-2195)."""
 
     cfg: ModelConfig
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, voxels, num_points, coords, pillar_mask,
-                 train: bool = False):
-        # Fold batch into the pillar axis: the PFN is purely per-pillar, so
-        # [B, P, N, D] -> [B*P, N, D] turns the Dense into ONE big MXU matmul
-        # and makes the masked BN statistics span the whole batch's real
-        # pillars — exactly matching the reference's ragged concat layout
-        # (load_data.py:2190-2195 merge_second_batch).
-        b, p = voxels.shape[:2]
-        flat = lambda a: a.reshape((b * p,) + a.shape[2:])
-        pfn = PillarFeatureNet(self.cfg, dtype=self.dtype, name="pfn")
-        pillar_feats = pfn(flat(voxels), flat(num_points), flat(coords),
-                           flat(pillar_mask), train=train)
+    def __call__(self, voxelized, train: bool = False):
+        coords = voxelized.coords
+        pillar_mask = voxelized.pillar_mask
+        b, p = pillar_mask.shape
+        flat = lambda a: a.reshape((b * a.shape[1],) + a.shape[2:])
+        if self.cfg.pfn.pointwise:
+            # offset per-sample pillar ids into the folded [B*P] space
+            pid = voxelized.point_pillar
+            offset = (jnp.arange(b, dtype=jnp.int32) * p)[:, None]
+            pid_global = jnp.where(pid < p, pid + offset, b * p)
+            pfn = PointwisePFN(self.cfg, dtype=self.dtype, name="pfn")
+            pillar_feats = pfn(flat(voxelized.points), flat(pid_global),
+                               flat(voxelized.num_points), flat(coords),
+                               flat(pillar_mask), train=train)
+        else:
+            pfn = PillarFeatureNet(self.cfg, dtype=self.dtype, name="pfn")
+            pillar_feats = pfn(flat(voxelized.voxels),
+                               flat(voxelized.num_points), flat(coords),
+                               flat(pillar_mask), train=train)
         pillar_feats = pillar_feats.reshape(b, p, -1)
         _, ny, nx = self.cfg.feature_map_size
         canvas = scatter_to_canvas_batched(pillar_feats, coords, pillar_mask,
@@ -81,28 +93,26 @@ class PillarsDetector:
             dtype = jnp.bfloat16
         self.dtype = dtype
         self.anchor_set: AnchorSet = build_anchors(self.mcfg)
-        self.network = _Network(self.mcfg, dtype=dtype)
-        self.voxelize = make_voxelizer(self.mcfg.voxel)
+        self.network = _Network(self.mcfg, dtype=self.dtype)
+        if self.mcfg.pfn.pointwise:
+            self.voxelize = make_point_voxelizer(self.mcfg.voxel)
+        else:
+            self.voxelize = make_voxelizer(self.mcfg.voxel)
         _, self.ny, self.nx = self.mcfg.feature_map_size
 
     # ------------------------------------------------------------------
     def init(self, rng: jax.Array, batch_size: int = 1) -> Dict[str, Any]:
         vc = self.mcfg.voxel
-        dummy = dict(
-            voxels=jnp.zeros((batch_size, vc.max_voxels,
-                              vc.max_points_per_voxel,
-                              self.mcfg.num_point_features), jnp.float32),
-            num_points=jnp.zeros((batch_size, vc.max_voxels), jnp.int32),
-            coords=jnp.zeros((batch_size, vc.max_voxels, 3), jnp.int32),
-            pillar_mask=jnp.zeros((batch_size, vc.max_voxels), bool),
-        )
-        return self.network.init(
-            rng, dummy["voxels"], dummy["num_points"], dummy["coords"],
-            dummy["pillar_mask"], False)
+        dummy_pts = jnp.zeros(
+            (batch_size, vc.max_points, self.mcfg.num_point_features),
+            jnp.float32)
+        dummy_num = jnp.zeros((batch_size,), jnp.int32)
+        voxelized = self.voxelize_batch(dummy_pts, dummy_num)
+        return self.network.init(rng, voxelized, False)
 
     # ------------------------------------------------------------------
     def voxelize_batch(self, points, num_valid):
-        """[B, MAXPTS, D] + [B] -> VoxelizedSample batch (vmapped)."""
+        """[B, MAXPTS, D] + [B] -> VoxelizedSample/VoxelizedPoints batch."""
         return jax.vmap(self.voxelize)(points, num_valid)
 
     def anchors_mask_batch(self, coords, pillar_mask, threshold: float):
@@ -114,10 +124,8 @@ class PillarsDetector:
     def apply(self, variables, voxelized, train: bool = False,
               mutable=False):
         """Run PFN+scatter+RPN. Returns (preds, new_model_state?)"""
-        return self.network.apply(
-            variables, voxelized.voxels, voxelized.num_points,
-            voxelized.coords, voxelized.pillar_mask, train,
-            mutable=mutable)
+        return self.network.apply(variables, voxelized, train,
+                                  mutable=mutable)
 
     # ------------------------------------------------------------------
     def loss(self, preds: Dict[str, jax.Array], labels, reg_targets

@@ -13,10 +13,138 @@ from __future__ import annotations
 from typing import Optional
 
 import jax.numpy as jnp
+import jax
 from flax import linen as nn
 
 from pillars_tpu.config import ModelConfig
 from pillars_tpu.models.layers import MaskedBatchNorm, he_uniform
+
+
+class PointwisePFN(nn.Module):
+    """Bandwidth-optimal PFN over the point-major layout.
+
+    Numerically equivalent to :class:`PillarFeatureNet` (same parameters,
+    same outputs) but never materializes the [P, N, C] activation: with
+    d435i clouds (~2.3 points/pillar average) the dense layout wastes ~96%%
+    of its HBM traffic on padding, which made the PFN the inference
+    bottleneck (~5.5 ms of a 7 ms cloud). Here features are computed per
+    POINT ([MAXPTS, C]) and reduced into pillars with a segment-max.
+
+    The reference's zero-row semantics are preserved exactly: pillars with
+    fewer than N points also take relu(bn(0)) — a per-channel constant —
+    into their max (reference pointpillars.py:197-225 processes the zeroed
+    padding points through Dense+BN+ReLU before the max).
+
+    Parameter/batch-stats names match PillarFeatureNet ("dense", "bn"), so
+    checkpoints are interchangeable between the two paths.
+    """
+
+    cfg: ModelConfig
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, points, point_pillar, num_points, coords, pillar_mask,
+                 train: bool = False):
+        """points [MAXPTS, D] (cell-sorted), point_pillar [MAXPTS] (== P for
+        dropped), num_points/coords/pillar_mask [P, ...]
+        -> pillar features [P, num_filters]."""
+        pcfg = self.cfg.pfn
+        vx, vy = self.cfg.voxel.voxel_size[:2]
+        pcr = self.cfg.voxel.point_cloud_range
+        x_offset = vx / 2 + pcr[0]
+        y_offset = vy / 2 + pcr[1]
+        num_filters = pcfg.num_filters
+        P = num_points.shape[0]
+        N = self.cfg.voxel.max_points_per_voxel
+        kept = point_pillar < P
+        pid = point_pillar
+
+        # per-pillar xyz mean over KEPT points (reference pointpillars.py:143)
+        sums = jnp.zeros((P, 3), dtype=points.dtype)
+        sums = sums.at[pid].add(
+            jnp.where(kept[:, None], points[:, :3], 0), mode="drop")
+        denom = jnp.maximum(num_points, 1).astype(points.dtype)[:, None]
+        means = sums / denom
+
+        safe_pid = jnp.minimum(pid, P - 1)
+        pt_mean = means[safe_pid]
+        pt_coords = coords[safe_pid]
+        cx = pt_coords[:, 2].astype(points.dtype) * vx + x_offset
+        cy = pt_coords[:, 1].astype(points.dtype) * vy + y_offset
+
+        feats = jnp.concatenate([
+            points,
+            points[:, :3] - pt_mean,
+            (points[:, 0] - cx)[:, None],
+            (points[:, 1] - cy)[:, None],
+        ], axis=-1)
+        feats = jnp.where(kept[:, None], feats, 0)
+
+        x = nn.Dense(num_filters, use_bias=False, kernel_init=he_uniform,
+                     dtype=self.dtype, name="dense")(feats)
+
+        # masked BN with the SAME statistics as the dense path: counts are
+        # real_pillars * N rows (zero rows of real pillars included), sums
+        # come from kept points only (zero rows contribute nothing).
+        bn = _PointwiseMaskedBN(momentum=pcfg.bn_momentum,
+                                epsilon=pcfg.bn_eps, dtype=self.dtype,
+                                name="bn")
+        x, zero_vec = bn(x, kept, pillar_mask, N,
+                         use_running_average=not train)
+        x = nn.relu(x)
+        zero_contrib = nn.relu(zero_vec).astype(x.dtype)
+
+        neg = jnp.asarray(-jnp.inf, dtype=x.dtype)
+        seg = jnp.full((P, num_filters), neg)
+        seg = seg.at[pid].max(x, mode="drop")
+        # pillars with padding slots also see the processed zero row
+        pad_rows = (num_points < N)[:, None]
+        seg = jnp.maximum(seg, jnp.where(pad_rows, zero_contrib[None], neg))
+        out = jnp.where(pillar_mask[:, None] & jnp.isfinite(seg), seg, 0)
+        return out
+
+
+class _PointwiseMaskedBN(nn.Module):
+    """BatchNorm over point-major activations with dense-layout statistics.
+
+    Parameter/collection names identical to MaskedBatchNorm so either PFN
+    path loads the same checkpoint."""
+
+    momentum: float = 0.99
+    epsilon: float = 1e-3
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, kept, pillar_mask, slots_per_pillar: int,
+                 use_running_average: bool):
+        features = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(features, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(features, jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (features,))
+        bias = self.param("bias", nn.initializers.zeros, (features,))
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            k = kept[:, None].astype(jnp.float32)
+            count = jnp.maximum(
+                jnp.sum(pillar_mask.astype(jnp.float32)) * slots_per_pillar,
+                1.0)
+            mean = jnp.sum(xf * k, axis=0) / count
+            mean2 = jnp.sum(xf * xf * k, axis=0) / count
+            var = jnp.maximum(mean2 - mean * mean, 0.0)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * var)
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        y = (x - mean) * inv * scale + bias
+        # the processed zero row: bn(0) per channel
+        zero_vec = (0.0 - mean) * inv * scale + bias
+        return y.astype(self.dtype or x.dtype), zero_vec
 
 
 class PillarFeatureNet(nn.Module):

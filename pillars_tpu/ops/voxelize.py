@@ -48,6 +48,30 @@ class VoxelizedSample(NamedTuple):
     pillar_mask: jax.Array
 
 
+class VoxelizedPoints(NamedTuple):
+    """Point-major voxelization result for ONE pointcloud — the
+    bandwidth-optimal layout for the pointwise PFN (see models/pfn.py).
+
+    The dense [P, N, D] layout wastes ~96%% of its HBM traffic on padding
+    with d435i clouds (~2.3 points per pillar on average); keeping points
+    flat and carrying a per-point pillar id makes the PFN touch only
+    O(num_points) memory.
+
+    points:       [MAXPTS, D] cell-id-sorted points (padding at the tail)
+    point_pillar: [MAXPTS] int32 pillar id per point; == P for dropped /
+                  padding / beyond-max_points_per_voxel points
+    num_points:   [P] int32 per-pillar counts (capped at N)
+    coords:       [P, 3] int32 (z, y, x)
+    pillar_mask:  [P] bool
+    """
+
+    points: jax.Array
+    point_pillar: jax.Array
+    num_points: jax.Array
+    coords: jax.Array
+    pillar_mask: jax.Array
+
+
 def voxelize(points: jax.Array, num_valid: jax.Array, *,
              voxel_size, point_cloud_range, grid_size,
              max_points_per_voxel: int, max_voxels: int) -> VoxelizedSample:
@@ -112,6 +136,72 @@ def voxelize(points: jax.Array, num_valid: jax.Array, *,
 
     pillar_mask = num_points > 0
     return VoxelizedSample(voxels, num_points, coords, pillar_mask)
+
+
+def voxelize_points(points: jax.Array, num_valid: jax.Array, *,
+                    voxel_size, point_cloud_range, grid_size,
+                    max_points_per_voxel: int,
+                    max_voxels: int) -> VoxelizedPoints:
+    """Point-major variant of :func:`voxelize`; same assignment semantics
+    (stable sort by cell keeps the reference's first-N-in-input-order cap)."""
+    maxpts, _ = points.shape
+    vs = jnp.asarray(voxel_size, dtype=points.dtype)
+    pcr = jnp.asarray(point_cloud_range, dtype=points.dtype)
+    nx, ny, nz = (int(g) for g in grid_size)
+    n_cells = nx * ny * nz
+    P = int(max_voxels)
+    N = int(max_points_per_voxel)
+
+    idx = jnp.arange(maxpts, dtype=jnp.int32)
+    in_count = idx < num_valid
+    c = jnp.floor((points[:, :3] - pcr[:3]) / vs).astype(jnp.int32)
+    gs = jnp.asarray([nx, ny, nz], dtype=jnp.int32)
+    valid = in_count & jnp.all((c >= 0) & (c < gs), axis=-1)
+    cell = (c[:, 2] * ny + c[:, 1]) * nx + c[:, 0]
+    cell = jnp.where(valid, cell, n_cells)
+
+    order = jnp.argsort(cell, stable=True)
+    cell_s = cell[order]
+    valid_s = valid[order]
+    points_s = points[order]
+
+    prev = jnp.concatenate([jnp.full((1,), -1, cell_s.dtype), cell_s[:-1]])
+    is_start = cell_s != prev
+    pillar_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    seg_start = jax.lax.cummax(jnp.where(is_start, idx, 0))
+    rank = idx - seg_start
+
+    keep = valid_s & (rank < N) & (pillar_id < P)
+    point_pillar = jnp.where(keep, pillar_id, P).astype(jnp.int32)
+
+    num_points = jnp.zeros((P,), dtype=jnp.int32)
+    num_points = num_points.at[point_pillar].add(
+        keep.astype(jnp.int32), mode="drop")
+
+    z = cell_s // (ny * nx)
+    rem = cell_s - z * (ny * nx)
+    y = rem // nx
+    x = rem - y * nx
+    zyx = jnp.stack([z, y, x], axis=-1).astype(jnp.int32)
+    start_keep = is_start & valid_s & (pillar_id < P)
+    spid = jnp.where(start_keep, pillar_id, P)
+    coords = jnp.zeros((P, 3), dtype=jnp.int32)
+    coords = coords.at[spid].set(zyx, mode="drop")
+
+    return VoxelizedPoints(points_s, point_pillar, num_points, coords,
+                           num_points > 0)
+
+
+def make_point_voxelizer(cfg: VoxelConfig):
+    """Bound point-major voxelizer, ready for jit/vmap."""
+    return functools.partial(
+        voxelize_points,
+        voxel_size=np.asarray(cfg.voxel_size, np.float32),
+        point_cloud_range=np.asarray(cfg.point_cloud_range, np.float32),
+        grid_size=cfg.grid_size,
+        max_points_per_voxel=cfg.max_points_per_voxel,
+        max_voxels=cfg.max_voxels,
+    )
 
 
 def make_voxelizer(cfg: VoxelConfig):

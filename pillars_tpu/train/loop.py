@@ -82,8 +82,7 @@ def make_train_step(detector: PillarsDetector,
         def loss_fn(params):
             preds, mutated = detector.network.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                voxelized.voxels, voxelized.num_points, voxelized.coords,
-                voxelized.pillar_mask, True, mutable=["batch_stats"])
+                voxelized, True, mutable=["batch_stats"])
             out = detector.loss(preds, targets.labels, targets.bbox_targets)
             return out.loss, (mutated["batch_stats"], out)
 
