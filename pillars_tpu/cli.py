@@ -35,8 +35,13 @@ def cmd_train(args):
 
     cfg = _load_config(args)
     trainer = Trainer(cfg, use_wandb=args.wandb)
+    if args.resume:
+        step = trainer.resume(args.resume)
+        print(f"resumed from {args.resume} at step {step}")
     best = trainer.train(epochs=args.epochs,
-                         eval_max_samples=args.eval_max_samples)
+                         eval_max_samples=args.eval_max_samples,
+                         overfit_first_batch=args.overfit_first_batch,
+                         replay_batch_file=args.replay_batch_file)
     print(f"best eval score: {best:.2f}")
 
 
@@ -112,6 +117,64 @@ def cmd_stream(args):
     print(json.dumps(stats))
 
 
+def cmd_sample_val_data(args):
+    from pillars_tpu.data.val_sampling import create_sampled_val_dataset
+
+    cfg = _load_config(args)
+    out = create_sampled_val_dataset(cfg, args.val_info, seed=args.seed)
+    print(f"sampled val info file: {out}")
+
+
+def cmd_visualize(args):
+    """Render dataset frames + optional predictions to BEV PNGs — the
+    headless analogue of the reference's rviz_show_predictions.py."""
+    import pickle
+
+    from pillars_tpu.viz import plot
+
+    cfg = _load_config(args)
+    with open(f"{args.root}/{args.info}", "rb") as f:
+        infos = pickle.load(f)
+    dt_annos = None
+    if args.result:
+        with open(args.result, "rb") as f:
+            dt_annos = pickle.load(f)
+    import os
+
+    from pillars_tpu.geometry import np_boxes as nb
+
+    os.makedirs(args.out, exist_ok=True)
+    count = 0
+    for i, info in enumerate(infos[: args.max_frames]):
+        path = f"{args.root}/{info['velodyne_path']}"
+        with open(path[:-3] + "pkl", "rb") as f:
+            points = pickle.load(f, encoding="latin1")
+        annos = info["annos"]
+        gt_cam = np.concatenate(
+            [annos["location"], annos["dimensions"],
+             annos["rotation_y"][..., None]], axis=1)
+        gt = nb.box_camera_to_lidar(gt_cam, info["calib/R0_rect"],
+                                    info["calib/Tr_velo_to_cam"])
+        pred, scores = None, None
+        if dt_annos is not None and i < len(dt_annos):
+            da = dt_annos[i]
+            if len(da["name"]):
+                cam = np.concatenate(
+                    [da["location"], da["dimensions"],
+                     da["rotation_y"][..., None]], axis=1)
+                pred = nb.box_camera_to_lidar(
+                    cam, info["calib/R0_rect"], info["calib/Tr_velo_to_cam"])
+                scores = da["score"]
+                keep = scores >= args.min_score
+                pred, scores = pred[keep], scores[keep]
+        plot.plot_bev(points=points, gt_boxes=gt, pred_boxes=pred,
+                      scores=scores,
+                      point_cloud_range=cfg.model.voxel.point_cloud_range,
+                      save_path=f"{args.out}/{i:06d}.png")
+        count += 1
+    print(f"rendered {count} frames to {args.out}")
+
+
 def cmd_bench(args):
     import runpy
 
@@ -133,6 +196,10 @@ def main(argv: Optional[List[str]] = None):
     sp.add_argument("--epochs", type=int, default=None)
     sp.add_argument("--eval-max-samples", type=int, default=None)
     sp.add_argument("--wandb", action="store_true")
+    sp.add_argument("--resume", default=None,
+                    help="checkpoint to restore the full train state from")
+    sp.add_argument("--overfit-first-batch", action="store_true")
+    sp.add_argument("--replay-batch-file", default=None)
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("evaluate", help="offline KITTI AP evaluation")
@@ -164,6 +231,26 @@ def main(argv: Optional[List[str]] = None):
     sp.add_argument("--source", default="synthetic",
                     help="synthetic | replay:<dataset_root>")
     sp.set_defaults(fn=cmd_stream)
+
+    sp = sub.add_parser("sample-val-data",
+                        help="build an augmented eval set from the val split "
+                             "(the reference's sample_val_dataset_mode)")
+    common(sp)
+    sp.add_argument("--val-info", required=True)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=cmd_sample_val_data)
+
+    sp = sub.add_parser("visualize",
+                        help="render frames + predictions to BEV PNGs")
+    common(sp)
+    sp.add_argument("--root", required=True)
+    sp.add_argument("--info", default="kitti_infos_val.pkl")
+    sp.add_argument("--result", default=None,
+                    help="result_<epoch>.pkl from an eval run")
+    sp.add_argument("--out", default="viz_out")
+    sp.add_argument("--max-frames", type=int, default=20)
+    sp.add_argument("--min-score", type=float, default=0.45)
+    sp.set_defaults(fn=cmd_visualize)
 
     sp = sub.add_parser("bench", help="run the headline benchmark")
     sp.set_defaults(fn=cmd_bench)

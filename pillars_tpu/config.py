@@ -164,6 +164,9 @@ class PostprocessConfig:
     nms_iou_threshold: float = 0.5
     post_center_limit_range: Tuple[float, ...] = (0.0, -2.56, -3.0, 6.40, 2.56, 3.0)
     use_direction_classifier: bool = True
+    # run the greedy NMS sweep as one Pallas kernel (TPU backends only;
+    # falls back to the lax formulation elsewhere)
+    use_pallas_nms: bool = True
 
 
 @dataclass

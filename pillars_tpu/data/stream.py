@@ -120,6 +120,32 @@ def replay_source(mailbox: LatestFrameMailbox, hz: float, duration_s: float,
     return t
 
 
+def ros_source(mailbox: LatestFrameMailbox,
+               topic: str = "/camera/depth/color/points",
+               subsample: int = 4) -> "object":
+    """Live RealSense source: subscribe the ROS pointcloud topic and publish
+    lidar-frame clouds into the mailbox.
+
+    reference load_data.py:2077-2127 (production_pc_update subscriber) +
+    :2433-2444 (image->lidar transform, every-4th subsampling) — but through
+    the locked mailbox instead of the reference's racy attribute handoff.
+    Requires rospy + ros_numpy; raises ImportError otherwise."""
+    import rospy
+    import ros_numpy
+    from sensor_msgs.msg import PointCloud2
+
+    from pillars_tpu.data.capture import d435i_to_lidar
+
+    if rospy.get_node_uri() is None:
+        rospy.init_node("pillars_tpu_stream", anonymous=True)
+
+    def callback(msg):
+        xyz = ros_numpy.point_cloud2.pointcloud2_to_xyz_array(msg)
+        mailbox.publish(d435i_to_lidar(xyz, subsample=subsample))
+
+    return rospy.Subscriber(topic, PointCloud2, callback, queue_size=1)
+
+
 def run_stream(cfg, detector, variables, hz: float = 120.0,
                duration_s: float = 5.0, source: str = "synthetic",
                on_detections: Optional[Callable] = None) -> Dict:
@@ -147,6 +173,9 @@ def run_stream(cfg, detector, variables, hz: float = 120.0,
     elif source.startswith("replay:"):
         producer = replay_source(mailbox, hz, duration_s,
                                  source.split(":", 1)[1])
+    elif source == "ros":
+        producer = ros_source(mailbox)
+        threading.Timer(duration_s, mailbox.close).start()
     else:
         raise ValueError(f"unknown stream source {source!r}")
 

@@ -154,6 +154,8 @@ class PillarsDetector:
         reference VoxelNet.predict (model/voxelnet.py:1060-1390), moved
         fully on-device with fixed shapes."""
         pp = self.mcfg.postprocess
+        use_pallas = (pp.use_pallas_nms
+                      and jax.default_backend() not in ("cpu", "gpu"))
         anchors = jnp.asarray(self.anchor_set.anchors)
         batch = preds["box_preds"].shape[0]
         box_preds = preds["box_preds"].reshape(batch, -1, 7).astype(jnp.float32)
@@ -192,7 +194,7 @@ class PillarsDetector:
             standup = gb.corner_to_standup(corners)
             keep_idx, keep_valid = nms_standup(
                 standup, top_scores, top_valid, pp.nms_iou_threshold,
-                pp.nms_post_max_size)
+                pp.nms_post_max_size, use_pallas=use_pallas)
 
             out_boxes = decoded[keep_idx]
             out_scores = top_scores[keep_idx]

@@ -35,7 +35,8 @@ def _pixel_iou_matrix(boxes: jax.Array) -> jax.Array:
 
 
 def nms_standup(boxes: jax.Array, scores: jax.Array, valid: jax.Array,
-                iou_threshold: float, post_max_size: int):
+                iou_threshold: float, post_max_size: int,
+                use_pallas: bool = False):
     """Greedy NMS over [K, 4] standup boxes.
 
     Boxes are processed in descending score order (the reference sorts before
@@ -51,15 +52,21 @@ def nms_standup(boxes: jax.Array, scores: jax.Array, valid: jax.Array,
     order = jnp.argsort(jnp.where(valid, scores, neg), stable=True)[::-1]
     boxes_s = boxes[order]
     valid_s = valid[order]
-    iou = _pixel_iou_matrix(boxes_s)
-    overlap = (iou > iou_threshold) & valid_s[:, None] & valid_s[None, :]
 
-    def body(i, kept):
-        # suppressed if any earlier kept box overlaps it
-        suppressed = jnp.any(overlap[:, i] & kept & (jnp.arange(k) < i))
-        return kept.at[i].set(valid_s[i] & ~suppressed)
+    if use_pallas:
+        from pillars_tpu.ops.nms_pallas import nms_keep_mask_pallas
 
-    kept = jax.lax.fori_loop(0, k, body, jnp.zeros((k,), dtype=bool))
+        kept = nms_keep_mask_pallas(boxes_s, valid_s, iou_threshold)
+    else:
+        iou = _pixel_iou_matrix(boxes_s)
+        overlap = (iou > iou_threshold) & valid_s[:, None] & valid_s[None, :]
+
+        def body(i, kept):
+            # suppressed if any earlier kept box overlaps it
+            suppressed = jnp.any(overlap[:, i] & kept & (jnp.arange(k) < i))
+            return kept.at[i].set(valid_s[i] & ~suppressed)
+
+        kept = jax.lax.fori_loop(0, k, body, jnp.zeros((k,), dtype=bool))
 
     # stable-compact the kept boxes (they are already score-ordered) and trim
     kept_rank = jnp.cumsum(kept.astype(jnp.int32)) - 1

@@ -94,6 +94,19 @@ class Trainer:
     def __init__(self, cfg: Config, use_wandb: bool = False):
         self.cfg = cfg
         self.detector = PillarsDetector(cfg)
+        # data-parallel mesh: batches are sharded over the 'data' axis and
+        # XLA partitions the fused step + inserts the gradient all-reduce
+        # over ICI (a capability the reference lacks, SURVEY §2.4)
+        self.mesh = None
+        n_dev = cfg.runtime.num_devices or len(jax.devices())
+        if n_dev > 1:
+            from pillars_tpu.parallel import make_mesh
+
+            if cfg.train_input.batch_size % n_dev:
+                raise ValueError(
+                    f"batch_size {cfg.train_input.batch_size} not divisible "
+                    f"by {n_dev} devices")
+            self.mesh = make_mesh(n_dev, cfg.runtime.data_axis)
         self.dirs = ckpt.create_out_dirs(cfg.out_dir, cfg.model_id)
         self.logger = MetricLogger(self.dirs["logs"], use_wandb=use_wandb,
                                    run_name=f"model_{self.dirs['model_id']}")
@@ -121,6 +134,22 @@ class Trainer:
                 batch_stats=batch_stats or self.state.batch_stats)
 
     # ------------------------------------------------------------------
+    def resume(self, checkpoint_path: str) -> int:
+        """Restore the FULL TrainState (params, BN stats, optimizer moments,
+        step counter) — exact mid-training resume, which the reference could
+        not do (its optimizer state was only saved in a disabled debug
+        branch, train.py:450-460). Returns the restored step."""
+        state, extra = ckpt.load_checkpoint(checkpoint_path)
+        if isinstance(state, dict):  # params-only checkpoint
+            self.state = self.state._replace(
+                params=state["params"],
+                batch_stats=state.get("batch_stats")
+                or self.state.batch_stats)
+        else:
+            self.state = TrainState(*state)
+        return int(jax.device_get(self.state.step))
+
+    # ------------------------------------------------------------------
     def variables(self):
         return {"params": self.state.params,
                 "batch_stats": self.state.batch_stats}
@@ -130,7 +159,8 @@ class Trainer:
               eval_max_samples: Optional[int] = None,
               overfit_first_batch: bool = False,
               replay_batch_file: Optional[str] = None,
-              save_batch_file: Optional[str] = None) -> float:
+              save_batch_file: Optional[str] = None,
+              fixture_repeats: int = 100) -> float:
         """Debug fixtures mirror the reference test strategy (SURVEY §4):
         ``overfit_first_batch`` repeats the first batch 100x per epoch
         (reference take_first, train.py:249), ``replay_batch_file`` trains on
@@ -149,11 +179,11 @@ class Trainer:
 
         for epoch in range(epochs):
             if fixed_batch is not None:
-                it = [fixed_batch] * 100
+                it = [fixed_batch] * fixture_repeats
             elif overfit_first_batch:
                 first = next(iter(BatchIterator(
                     self.dataset, batch_size, shuffle=False, num_workers=1)))
-                it = [first] * 100
+                it = [first] * fixture_repeats
             else:
                 it = BatchIterator(
                     self.dataset, batch_size, shuffle=cfg.train_input.shuffle,
@@ -165,6 +195,11 @@ class Trainer:
                 if save_batch_file and step_count == 0:
                     with open(save_batch_file, "wb") as f:
                         pickle.dump(jax.device_get(batch), f, 2)
+                if self.mesh is not None:
+                    from pillars_tpu.parallel import shard_batch
+
+                    batch = shard_batch(batch, self.mesh,
+                                        self.cfg.runtime.data_axis)
                 self.state, metrics = self.step_fn(self.state, batch)
                 if step_count % cfg.train.log_every_steps == 0:
                     self.logger.log_train_step(step_count, epoch, metrics)
