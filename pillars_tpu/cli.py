@@ -22,6 +22,10 @@ import numpy as np
 
 
 def _load_config(args) -> "Config":
+    if getattr(args, "platform", None):
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     from pillars_tpu.config import Config
 
     cfg = Config.from_yaml(args.config) if args.config else Config.default()
@@ -190,6 +194,10 @@ def main(argv: Optional[List[str]] = None):
                         help="YAML config (native or reference train.yaml)")
         sp.add_argument("--set", nargs="*", default=[],
                         help="dotted-path overrides key=value")
+        sp.add_argument("--platform", default=None,
+                        help="force a jax platform (e.g. cpu); needed on "
+                             "images whose sitecustomize pre-selects a TPU "
+                             "plugin, where JAX_PLATFORMS is ignored")
 
     sp = sub.add_parser("train", help="train the detector")
     common(sp)

@@ -124,6 +124,15 @@ class PFNConfig:
 
 
 @dataclass
+class MiddleConfig:
+    """SECOND-style 3D middle extractor (models/middle.py). Off by default
+    (PointPillars path); enable with a fine z voxel resolution."""
+
+    enabled: bool = False
+    num_filters: Tuple[int, ...] = (16, 32)
+
+
+@dataclass
 class RPNConfig:
     """reference configs/train.yaml:129-142 + model/voxelnet.py:517-717."""
 
@@ -181,6 +190,7 @@ class ModelConfig:
     box_code_size: int = 7
     voxel: VoxelConfig = field(default_factory=VoxelConfig)
     pfn: PFNConfig = field(default_factory=PFNConfig)
+    middle: MiddleConfig = field(default_factory=MiddleConfig)
     rpn: RPNConfig = field(default_factory=RPNConfig)
     loss: LossConfig = field(default_factory=LossConfig)
     postprocess: PostprocessConfig = field(default_factory=PostprocessConfig)

@@ -78,8 +78,20 @@ class _Network(nn.Module):
                                flat(pillar_mask), train=train)
         pillar_feats = pillar_feats.reshape(b, p, -1)
         _, ny, nx = self.cfg.feature_map_size
-        canvas = scatter_to_canvas_batched(pillar_feats, coords, pillar_mask,
-                                           ny, nx)
+        if self.cfg.middle.enabled:
+            # SECOND-style path: dense 3D grid -> conv3d middle extractor
+            from pillars_tpu.models.middle import (MiddleExtractor3D,
+                                                   scatter_to_grid3d)
+
+            nz = self.cfg.voxel.grid_size[2]
+            grid = jax.vmap(
+                lambda f, c, m: scatter_to_grid3d(f, c, m, nz, ny, nx))(
+                    pillar_feats, coords, pillar_mask)
+            canvas = MiddleExtractor3D(self.cfg, dtype=self.dtype,
+                                       name="middle")(grid, train)
+        else:
+            canvas = scatter_to_canvas_batched(pillar_feats, coords,
+                                               pillar_mask, ny, nx)
         return RPN(self.cfg, dtype=self.dtype, name="rpn")(canvas, train)
 
 
@@ -213,6 +225,40 @@ class PillarsDetector:
         outs = jax.vmap(one)(box_preds, cls_preds, dir_preds, anchors_mask,
                              rect, trv2c)
         return Predictions(*outs)
+
+    # ------------------------------------------------------------------
+    def profile_stages(self, variables, points, num_valid, rect, trv2c,
+                       iters: int = 20) -> Dict[str, float]:
+        """The reference's measure_time_extended tier (voxelnet.py:753-903):
+        per-stage wall-clock ms for t_voxel_features / t_spatial_features /
+        t_rpn / t_nms_func, measured with block_until_ready on separately
+        jitted stages. For whole-graph numbers use bench.py — stage
+        boundaries prevent fusion, so the sum exceeds the fused time."""
+        import time as _time
+
+        thr = self.config.eval_input.anchor_area_threshold
+
+        vox_fn = jax.jit(self.voxelize_batch)
+        voxelized = jax.block_until_ready(vox_fn(points, num_valid))
+        net_fn = jax.jit(lambda v: self.apply(variables, v, train=False))
+        preds = jax.block_until_ready(net_fn(voxelized))
+        post_fn = jax.jit(lambda v, p: self.postprocess(
+            p, self.anchors_mask_batch(v.coords, v.pillar_mask, thr),
+            rect, trv2c))
+        jax.block_until_ready(post_fn(voxelized, preds))
+
+        def t(fn, *a):
+            jax.block_until_ready(fn(*a))
+            t0 = _time.perf_counter()
+            out = [fn(*a) for _ in range(iters)]
+            jax.block_until_ready(out)
+            return (_time.perf_counter() - t0) / iters * 1e3
+
+        return {
+            "t_voxel_features": t(vox_fn, points, num_valid),
+            "t_spatial_features_plus_rpn": t(net_fn, voxelized),
+            "t_nms_func": t(post_fn, voxelized, preds),
+        }
 
     # ------------------------------------------------------------------
     def make_inference_fn(self, anchor_area_threshold: Optional[float] = None):
