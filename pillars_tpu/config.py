@@ -50,7 +50,10 @@ class VoxelConfig:
     max_voxels: int = 12000
     # TPU addition: static padded size of the raw point dimension. Clouds are
     # padded/truncated to this many points before the jitted voxelizer.
-    max_points: int = 65536
+    # Size it to your sensor: a d435i cloud after the reference's own 1::4
+    # subsampling is <= 19200 points (+ sampled objects); the sort over this
+    # axis is the voxelizer's dominant cost, so don't over-provision.
+    max_points: int = 32768
 
     @property
     def grid_size(self) -> Tuple[int, int, int]:
@@ -142,6 +145,9 @@ class RPNConfig:
     upsample_strides: Tuple[int, int, int] = (1, 2, 4)
     num_upsample_filters: Tuple[int, int, int] = (128, 128, 128)
     use_separable_conv: bool = True  # deliberate reference customization
+    # fuse each downsample block into one Pallas kernel on the inference
+    # path (TPU backends; requires separable convs + pointwise PFN)
+    use_pallas_blocks: bool = False
     bn_eps: float = 1e-3  # keras BatchNormalization default
     bn_momentum: float = 0.99
 

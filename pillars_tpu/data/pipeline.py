@@ -38,12 +38,16 @@ class PedestrianDataset:
 
     def __init__(self, cfg: Config, reader: InputReaderConfig, training: bool,
                  sampler: Optional[DataBaseSampler] = None,
-                 rng: Optional[np.random.RandomState] = None):
+                 rng: Optional[np.random.RandomState] = None,
+                 debug_publisher=None):
         self.cfg = cfg
         self.reader = reader
         self.training = training
         self.sampler = sampler
         self.rng = rng or np.random.RandomState()
+        # debug_save_points equivalent: publish every augmentation stage
+        # (reference load_data.py:2659-2825); pass a viz Publisher
+        self.debug_publisher = debug_publisher
         with open(reader.info_path, "rb") as f:
             self.infos: List[Dict] = pickle.load(f)
         self.root = reader.dataset_root
@@ -102,12 +106,22 @@ class PedestrianDataset:
                                      dtype=np.int32))
 
     # ------------------------------------------------------------------
+    def _debug_publish(self, stage, points, gt_boxes):
+        if self.debug_publisher is None:
+            return
+        from pillars_tpu.viz import BoxArray
+
+        self.debug_publisher.publish_points(f"debug_{stage}_points", points)
+        self.debug_publisher.publish_boxes(
+            f"debug_{stage}_boxes", BoxArray.from_boxes7(gt_boxes))
+
     def _augment(self, gt_boxes, gt_names, points):
         """reference prep_pointcloud training branch (load_data.py:2620-2870)."""
         acfg = self.reader.augment
         scfg = self.reader.sampler
         rng = self.rng
         gt_boxes_mask = np.ones(len(gt_boxes), dtype=bool)
+        self._debug_publish("input", points, gt_boxes)
 
         if acfg.enabled and self.sampler is not None:
             # guarantee >= 1 object per scene (reference load_data.py:2706)
@@ -124,10 +138,12 @@ class PedestrianDataset:
                 if len(gt_boxes) > 0:
                     break
 
+        self._debug_publish("samples_added", points, gt_boxes)
         if acfg.enabled:
             aug.noise_per_object(gt_boxes, points, gt_boxes_mask, acfg, rng)
         gt_boxes = gt_boxes[gt_boxes_mask]
         gt_names = gt_names[gt_boxes_mask]
+        self._debug_publish("object_noise", points, gt_boxes)
 
         if acfg.enabled:
             gt_boxes, points = aug.random_flip(
@@ -144,6 +160,7 @@ class PedestrianDataset:
         rng.shuffle(points)
         mask = nb.filter_gt_box_outside_range_by_center(
             gt_boxes, self.pcr[[0, 1, 3, 4]])
+        self._debug_publish("global_transforms", points, gt_boxes[mask])
         return gt_boxes[mask], gt_names[mask], points
 
     # ------------------------------------------------------------------

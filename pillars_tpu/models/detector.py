@@ -63,12 +63,16 @@ class _Network(nn.Module):
         b, p = pillar_mask.shape
         flat = lambda a: a.reshape((b * a.shape[1],) + a.shape[2:])
         if self.cfg.pfn.pointwise:
-            # offset per-sample pillar ids into the folded [B*P] space
+            # offset per-sample pillar ids into the folded [B*P] space;
+            # plain addition keeps them NON-DECREASING (sorted scatters) —
+            # non-kept points carry inert values, so no sentinel redirect
+            # is needed
             pid = voxelized.point_pillar
             offset = (jnp.arange(b, dtype=jnp.int32) * p)[:, None]
-            pid_global = jnp.where(pid < p, pid + offset, b * p)
+            pid_global = pid + offset
             pfn = PointwisePFN(self.cfg, dtype=self.dtype, name="pfn")
             pillar_feats = pfn(flat(voxelized.points), flat(pid_global),
+                               flat(voxelized.point_kept),
                                flat(voxelized.num_points), flat(coords),
                                flat(pillar_mask), train=train)
         else:
@@ -261,6 +265,40 @@ class PillarsDetector:
         }
 
     # ------------------------------------------------------------------
+    def _forward_fast(self, variables, voxelized):
+        """Inference forward with the downsample blocks as fused Pallas
+        kernels (ops/rpn_pallas.py); PFN/scatter/deconvs/heads stay flax.
+        Numerically equivalent to apply(..., train=False) modulo conv
+        accumulation order."""
+        from pillars_tpu.models.pfn import PointwisePFN
+        from pillars_tpu.models.rpn import RPNTail
+        from pillars_tpu.ops.rpn_pallas import fused_rpn_blocks
+
+        coords = voxelized.coords
+        pillar_mask = voxelized.pillar_mask
+        b, p = pillar_mask.shape
+        flat = lambda a: a.reshape((b * a.shape[1],) + a.shape[2:])
+        pid = voxelized.point_pillar
+        offset = (jnp.arange(b, dtype=jnp.int32) * p)[:, None]
+        pid_global = pid + offset
+        pfn = PointwisePFN(self.mcfg, dtype=self.dtype)
+        pillar_feats = pfn.apply(
+            {"params": variables["params"]["pfn"],
+             "batch_stats": variables["batch_stats"]["pfn"]},
+            flat(voxelized.points), flat(pid_global),
+            flat(voxelized.point_kept),
+            flat(voxelized.num_points), flat(coords), flat(pillar_mask),
+            train=False)
+        pillar_feats = pillar_feats.reshape(b, p, -1)
+        canvas = scatter_to_canvas_batched(pillar_feats, coords, pillar_mask,
+                                           self.ny, self.nx)
+        b1, b2, b3 = fused_rpn_blocks(canvas, variables, self.mcfg.rpn)
+        tail = RPNTail(self.mcfg, dtype=self.dtype)
+        rpn_vars = {"params": variables["params"]["rpn"],
+                    "batch_stats": variables["batch_stats"]["rpn"]}
+        return tail.apply(rpn_vars, b1, b2, b3, False)
+
+    # ------------------------------------------------------------------
     def make_inference_fn(self, anchor_area_threshold: Optional[float] = None):
         """One jitted graph: padded pointclouds -> final boxes.
 
@@ -269,12 +307,19 @@ class PillarsDetector:
         """
         thr = (self.config.eval_input.anchor_area_threshold
                if anchor_area_threshold is None else anchor_area_threshold)
+        fast = (self.mcfg.rpn.use_pallas_blocks
+                and self.mcfg.rpn.use_separable_conv
+                and self.mcfg.pfn.pointwise
+                and jax.default_backend() not in ("cpu", "gpu"))
 
         def fn(variables, points, num_valid, rect, trv2c):
             voxelized = self.voxelize_batch(points, num_valid)
             amask = self.anchors_mask_batch(
                 voxelized.coords, voxelized.pillar_mask, thr)
-            preds = self.apply(variables, voxelized, train=False)
+            if fast:
+                preds = self._forward_fast(variables, voxelized)
+            else:
+                preds = self.apply(variables, voxelized, train=False)
             return self.postprocess(preds, amask, rect, trv2c)
 
         return jax.jit(fn)

@@ -43,11 +43,16 @@ class PointwisePFN(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, points, point_pillar, num_points, coords, pillar_mask,
-                 train: bool = False):
-        """points [MAXPTS, D] (cell-sorted), point_pillar [MAXPTS] (== P for
-        dropped), num_points/coords/pillar_mask [P, ...]
-        -> pillar features [P, num_filters]."""
+    def __call__(self, points, point_pillar, point_kept, num_points, coords,
+                 pillar_mask, train: bool = False):
+        """points [MAXPTS, D] (cell-sorted), point_pillar [MAXPTS]
+        (NON-DECREASING, clamped), point_kept [MAXPTS],
+        num_points/coords/pillar_mask [P, ...]
+        -> pillar features [P, num_filters].
+
+        Every scatter here passes indices_are_sorted=True (the voxelizer
+        guarantees monotone pillar ids) — on TPU that is the difference
+        between a vectorized and a serialized scatter."""
         pcfg = self.cfg.pfn
         vx, vy = self.cfg.voxel.voxel_size[:2]
         pcr = self.cfg.voxel.point_cloud_range
@@ -56,13 +61,14 @@ class PointwisePFN(nn.Module):
         num_filters = pcfg.num_filters
         P = num_points.shape[0]
         N = self.cfg.voxel.max_points_per_voxel
-        kept = point_pillar < P
+        kept = point_kept
         pid = point_pillar
 
         # per-pillar xyz mean over KEPT points (reference pointpillars.py:143)
         sums = jnp.zeros((P, 3), dtype=points.dtype)
         sums = sums.at[pid].add(
-            jnp.where(kept[:, None], points[:, :3], 0), mode="drop")
+            jnp.where(kept[:, None], points[:, :3], 0), mode="drop",
+            indices_are_sorted=True)
         denom = jnp.maximum(num_points, 1).astype(points.dtype)[:, None]
         means = sums / denom
 
@@ -95,8 +101,9 @@ class PointwisePFN(nn.Module):
         zero_contrib = nn.relu(zero_vec).astype(x.dtype)
 
         neg = jnp.asarray(-jnp.inf, dtype=x.dtype)
+        x = jnp.where(kept[:, None], x, neg)  # dropped points can't win a max
         seg = jnp.full((P, num_filters), neg)
-        seg = seg.at[pid].max(x, mode="drop")
+        seg = seg.at[pid].max(x, mode="drop", indices_are_sorted=True)
         # pillars with padding slots also see the processed zero row
         pad_rows = (num_points < N)[:, None]
         seg = jnp.maximum(seg, jnp.where(pad_rows, zero_contrib[None], neg))

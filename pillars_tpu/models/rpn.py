@@ -88,6 +88,41 @@ class _Deconv(nn.Module):
         return nn.relu(x)
 
 
+class RPNTail(nn.Module):
+    """Deconv branches + heads only — used by the fast inference path where
+    the downsample blocks run as fused Pallas kernels (ops/rpn_pallas.py).
+    Child names match RPN's, so RPN's param tree slices in directly."""
+
+    cfg: ModelConfig
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, b1, b2, b3, train: bool = False):
+        rcfg = self.cfg.rpn
+        ups = []
+        for i, b in enumerate((b1, b2, b3)):
+            ups.append(
+                _Deconv(rcfg.num_upsample_filters[i], rcfg.upsample_strides[i],
+                        rcfg.bn_momentum, rcfg.bn_eps, dtype=self.dtype,
+                        name=f"deconv{i + 1}")(b, train))
+        x = jnp.concatenate(ups, axis=-1)
+        n_anchor = self.cfg.num_anchors_per_loc
+        num_cls = n_anchor * (self.cfg.num_class
+                              if self.cfg.encode_background_as_zeros
+                              else self.cfg.num_class + 1)
+        box = nn.Conv(n_anchor * self.cfg.box_code_size, (1, 1), use_bias=True,
+                      kernel_init=he_uniform, dtype=self.dtype,
+                      name="conv_box")(x)
+        cls = nn.Conv(num_cls, (1, 1), use_bias=True, kernel_init=he_uniform,
+                      dtype=self.dtype, name="conv_cls")(x)
+        out = {"box_preds": box, "cls_preds": cls}
+        if self.cfg.postprocess.use_direction_classifier:
+            out["dir_cls_preds"] = nn.Conv(
+                n_anchor * 2, (1, 1), use_bias=True, kernel_init=he_uniform,
+                dtype=self.dtype, name="conv_dir_cls")(x)
+        return out
+
+
 class RPN(nn.Module):
     cfg: ModelConfig
     dtype: Optional[jnp.dtype] = None

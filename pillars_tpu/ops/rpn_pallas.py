@@ -1,0 +1,152 @@
+"""Fused Pallas kernels for the RPN's separable-conv blocks (inference).
+
+The RPN dominates inference latency (~3.3 ms of a 4.4 ms cloud) not because
+of FLOPs (~2 GFLOP, <0.1 ms of MXU time) but because it is ~40 tiny ops on a
+64x80 canvas — each under-occupied and latency-bound. This module fuses each
+downsample block (strided separable conv + N same-padding separable convs,
+BN+ReLU each) into ONE Pallas kernel: the whole canvas stays resident in
+VMEM, the 3x3 depthwise stage is 9 shifted multiply-accumulates on the VPU,
+the 1x1 pointwise stage is a [H*W, C] x [C, C'] MXU matmul, and the
+(inference-mode) BatchNorm is folded into the pointwise weights ahead of
+time.
+
+Training keeps the flax path (BN batch statistics need the XLA autodiff);
+this kernel serves `make_inference_fn` when
+``model.rpn.use_pallas_blocks=true``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+class FoldedLayer(NamedTuple):
+    """One separable layer with BN folded into the pointwise stage."""
+
+    wd: jax.Array    # [3, 3, C_in] depthwise
+    wp: jax.Array    # [C_in, C_out] pointwise (BN scale folded)
+    bias: jax.Array  # [C_out] (BN shift folded)
+
+
+def fold_block_params(block_params: dict, block_stats: dict, num_layers: int,
+                      eps: float) -> List[FoldedLayer]:
+    """Fold flax _Block params + BN stats into FoldedLayer list.
+
+    flax layouts: depthwise kernel [3, 3, 1, C]; pointwise [1, 1, C_in, C_out];
+    BN y = (x - mean) * rsqrt(var + eps) * scale + bias."""
+    layers = []
+    for i in range(num_layers + 1):
+        conv = block_params[f"conv{i}"]
+        bn = block_params[f"bn{i}"]
+        stats = block_stats[f"bn{i}"]
+        wd = jnp.asarray(conv["depthwise"]["kernel"])[:, :, 0, :]  # [3,3,C]
+        wp = jnp.asarray(conv["pointwise"]["kernel"])[0, 0]        # [Cin,Cout]
+        inv = jax.lax.rsqrt(jnp.asarray(stats["var"]) + eps)
+        g = jnp.asarray(bn["scale"]) * inv
+        wp_f = wp * g[None, :]
+        bias = jnp.asarray(bn["bias"]) - jnp.asarray(stats["mean"]) * g
+        layers.append(FoldedLayer(wd.astype(jnp.float32),
+                                  wp_f.astype(jnp.float32),
+                                  bias.astype(jnp.float32)))
+    return layers
+
+
+def _depthwise3x3(x, wd, h: int, w: int):
+    """SAME 3x3 depthwise via 9 shifted MACs. x [H, W, C], wd [3, 3, C]."""
+    padded = jnp.pad(x, ((1, 1), (1, 1), (0, 0)))
+    acc = jnp.zeros((h, w, x.shape[-1]), dtype=jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            acc = acc + padded[dy:dy + h, dx:dx + w, :] * wd[dy, dx, :]
+    return acc
+
+
+def _subsample2(y, h: int, w: int):
+    """y[::2, ::2, :] via reshape+static-index (Mosaic-friendly)."""
+    c = y.shape[-1]
+    return y.reshape(h // 2, 2, w // 2, 2, c)[:, 0, :, 0, :]
+
+
+def _make_block_kernel(h: int, w: int, c_in: int, c_out: int,
+                       num_layers: int, stride: int):
+    """Kernel: x [H, W, C_in] + (num_layers+1) folded layers -> output."""
+
+    def kernel(x_ref, *refs):
+        out_ref = refs[-1]
+        weight_refs = refs[:-1]
+        x = x_ref[:].astype(jnp.float32)
+
+        # conv0: depthwise (stride via subsample) + pointwise + bias + relu
+        wd0 = weight_refs[0][:]
+        wp0 = weight_refs[1][:]
+        b0 = weight_refs[2][:]
+        y = _depthwise3x3(x, wd0, h, w)
+        if stride == 2:
+            y = _subsample2(y, h, w)
+        hh, ww = y.shape[0], y.shape[1]
+        y = jnp.dot(y.reshape(hh * ww, c_in), wp0,
+                    preferred_element_type=jnp.float32)
+        y = jnp.maximum(y + b0[0], 0.0).reshape(hh, ww, c_out)
+
+        for i in range(num_layers):
+            wd = weight_refs[3 + i * 3][:]
+            wp = weight_refs[4 + i * 3][:]
+            b = weight_refs[5 + i * 3][:]
+            z = _depthwise3x3(y, wd, hh, ww)
+            z = jnp.dot(z.reshape(hh * ww, c_out), wp,
+                        preferred_element_type=jnp.float32)
+            y = jnp.maximum(z + b[0], 0.0).reshape(hh, ww, c_out)
+
+        out_ref[:] = y.astype(out_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("num_layers", "stride",
+                                             "interpret"))
+def fused_sep_block(x: jax.Array, layers: Tuple[FoldedLayer, ...],
+                    num_layers: int, stride: int,
+                    interpret: bool = False) -> jax.Array:
+    """Run one fused separable block. x: [H, W, C_in] (single sample)."""
+    h, w, c_in = x.shape
+    c_out = layers[0].wp.shape[1]
+    oh, ow = (h // stride, w // stride) if stride == 2 else (h, w)
+
+    inputs = [x]
+    for lyr in layers:
+        inputs += [lyr.wd, lyr.wp, lyr.bias.reshape(1, -1)]
+    kernel = _make_block_kernel(h, w, c_in, c_out, num_layers, stride)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((oh, ow, c_out), x.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(inputs),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*inputs)
+
+
+def fused_rpn_blocks(canvas: jax.Array, variables: dict, rpn_cfg,
+                     interpret: bool = False) -> List[jax.Array]:
+    """Run the three fused blocks over a [B, H, W, C] canvas; returns the
+    per-block outputs [b1, b2, b3] (inputs to the deconv branches)."""
+    params = variables["params"]["rpn"]
+    stats = variables["batch_stats"]["rpn"]
+    outs = []
+    x = canvas
+    for i in range(3):
+        name = f"block{i + 1}"
+        layers = tuple(fold_block_params(
+            params[name], stats[name], rpn_cfg.layer_nums[i], rpn_cfg.bn_eps))
+        fn = lambda s, ls=layers, n=rpn_cfg.layer_nums[i], \
+            st=rpn_cfg.layer_strides[i]: fused_sep_block(
+                s, ls, n, st, interpret=interpret)
+        x = jax.vmap(fn)(x)
+        outs.append(x)
+    return outs

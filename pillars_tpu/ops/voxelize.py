@@ -58,8 +58,14 @@ class VoxelizedPoints(NamedTuple):
     O(num_points) memory.
 
     points:       [MAXPTS, D] cell-id-sorted points (padding at the tail)
-    point_pillar: [MAXPTS] int32 pillar id per point; == P for dropped /
-                  padding / beyond-max_points_per_voxel points
+    point_pillar: [MAXPTS] int32 pillar id per point, NON-DECREASING
+                  (clamped to P past max_voxels) — monotonicity lets every
+                  downstream scatter pass indices_are_sorted=True, which is
+                  the difference between a vectorized and a serialized
+                  scatter on TPU
+    point_kept:   [MAXPTS] bool; False for out-of-range / padding / beyond
+                  max_points_per_voxel points (they carry a valid pillar id
+                  but must not contribute)
     num_points:   [P] int32 per-pillar counts (capped at N)
     coords:       [P, 3] int32 (z, y, x)
     pillar_mask:  [P] bool
@@ -67,6 +73,7 @@ class VoxelizedPoints(NamedTuple):
 
     points: jax.Array
     point_pillar: jax.Array
+    point_kept: jax.Array
     num_points: jax.Array
     coords: jax.Array
     pillar_mask: jax.Array
@@ -160,9 +167,17 @@ def voxelize_points(points: jax.Array, num_valid: jax.Array, *,
     cell = (c[:, 2] * ny + c[:, 1]) * nx + c[:, 0]
     cell = jnp.where(valid, cell, n_cells)
 
-    order = jnp.argsort(cell, stable=True)
-    cell_s = cell[order]
-    valid_s = valid[order]
+    if (n_cells + 1) * maxpts < 2**31:
+        # pack (cell, position) into ONE int32 key: a single unstable sort
+        # of unique keys replaces the stable key-value argsort — the sort is
+        # the voxelizer's dominant cost on TPU
+        key = jnp.sort(cell * maxpts + idx)
+        order = jnp.remainder(key, maxpts)
+        cell_s = key // maxpts
+    else:  # huge grids (e.g. full KITTI): fall back to the stable argsort
+        order = jnp.argsort(cell, stable=True)
+        cell_s = cell[order]
+    valid_s = cell_s < n_cells  # valid <=> in-range cell, no gather needed
     points_s = points[order]
 
     prev = jnp.concatenate([jnp.full((1,), -1, cell_s.dtype), cell_s[:-1]])
@@ -172,23 +187,27 @@ def voxelize_points(points: jax.Array, num_valid: jax.Array, *,
     rank = idx - seg_start
 
     keep = valid_s & (rank < N) & (pillar_id < P)
-    point_pillar = jnp.where(keep, pillar_id, P).astype(jnp.int32)
+    # clamp instead of sentinel: stays non-decreasing over the sorted points
+    point_pillar = jnp.minimum(pillar_id, P).astype(jnp.int32)
 
     num_points = jnp.zeros((P,), dtype=jnp.int32)
     num_points = num_points.at[point_pillar].add(
-        keep.astype(jnp.int32), mode="drop")
+        keep.astype(jnp.int32), mode="drop", indices_are_sorted=True)
 
     z = cell_s // (ny * nx)
     rem = cell_s - z * (ny * nx)
     y = rem // nx
     x = rem - y * nx
     zyx = jnp.stack([z, y, x], axis=-1).astype(jnp.int32)
-    start_keep = is_start & valid_s & (pillar_id < P)
-    spid = jnp.where(start_keep, pillar_id, P)
+    # all points of a pillar share the same zyx (>= 0), so a sorted
+    # scatter-MAX of masked values recovers the per-pillar coords without
+    # needing unique start indices
     coords = jnp.zeros((P, 3), dtype=jnp.int32)
-    coords = coords.at[spid].set(zyx, mode="drop")
+    coords = coords.at[point_pillar].max(
+        jnp.where(valid_s[:, None], zyx, 0), mode="drop",
+        indices_are_sorted=True)
 
-    return VoxelizedPoints(points_s, point_pillar, num_points, coords,
+    return VoxelizedPoints(points_s, point_pillar, keep, num_points, coords,
                            num_points > 0)
 
 

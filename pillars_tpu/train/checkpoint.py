@@ -69,8 +69,16 @@ def save_params(path: str, params, batch_stats=None) -> None:
 
 
 def load_params(path: str):
+    """Extract (params, batch_stats) from either checkpoint flavor:
+    a params-only dict (save_params) or a full TrainState (save_checkpoint
+    of the trainer's state tuple)."""
     state, _ = load_checkpoint(path)
-    return state["params"], state.get("batch_stats")
+    if isinstance(state, dict):
+        return state["params"], state.get("batch_stats")
+    if isinstance(state, tuple) and len(state) >= 3:
+        # TrainState(step, params, batch_stats, opt_state)
+        return state[1], state[2]
+    raise ValueError(f"unrecognized checkpoint structure in {path}")
 
 
 # ---------------------------------------------------------------------------
