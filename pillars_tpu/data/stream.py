@@ -183,6 +183,18 @@ def run_stream(cfg, detector, variables, hz: float = 120.0,
     skipped_total = 0
     latencies = []
     t_start = time.perf_counter()
+    pending = None  # (async device result, issue time) — 1-deep pipeline
+
+    def consume(item):
+        nonlocal processed
+        out, t0 = item
+        out = jax.device_get(out)
+        latencies.append((time.perf_counter() - t0) * 1e3)
+        processed += 1
+        if on_detections is not None:
+            keep = out.valid[0] & (out.scores[0] >= min_score)
+            on_detections(out.boxes_lidar[0][keep], out.scores[0][keep])
+
     while True:
         frame, skipped = mailbox.take(timeout=2.0)
         if frame is None:
@@ -192,13 +204,14 @@ def run_stream(cfg, detector, variables, hz: float = 120.0,
         pts = np.zeros((1, maxpts, 3), np.float32)
         n = min(len(frame), maxpts)
         pts[0, :n] = frame[:n, :3]
+        # issue frame k's inference BEFORE blocking on frame k-1's result:
+        # the device computes while the host waits (double buffering)
         out = infer(variables, pts, jnp.asarray([n], jnp.int32), eye, eye)
-        out = jax.device_get(out)
-        latencies.append((time.perf_counter() - t0) * 1e3)
-        processed += 1
-        if on_detections is not None:
-            keep = out.valid[0] & (out.scores[0] >= min_score)
-            on_detections(out.boxes_lidar[0][keep], out.scores[0][keep])
+        if pending is not None:
+            consume(pending)
+        pending = (out, t0)
+    if pending is not None:
+        consume(pending)
     wall = time.perf_counter() - t_start
     lat = np.asarray(latencies) if latencies else np.zeros(1)
     return {
