@@ -191,7 +191,10 @@ class BatchIterator:
     """Epoch iterator with background workers + device prefetch.
 
     Replaces tf.data.from_generator + prefetch(AUTOTUNE)
-    (reference load_data.py:2154-2398)."""
+    (reference load_data.py:2154-2398). With num_workers > 1, samples of a
+    batch are built concurrently; the shared augmentation RandomState then
+    interleaves across threads, so exact augmentation reproducibility needs
+    num_workers=1 (batch CONTENTS and order stay deterministic either way)."""
 
     def __init__(self, dataset: PedestrianDataset, batch_size: int,
                  shuffle: bool, num_workers: int = 2, prefetch_depth: int = 2,
@@ -225,14 +228,19 @@ class BatchIterator:
         stop = threading.Event()
 
         def producer():
+            from concurrent.futures import ThreadPoolExecutor
+
             try:
-                for idxs in batches:
-                    if stop.is_set():
-                        return
-                    batch = collate([self.dataset[int(i)] for i in idxs])
-                    if self.device_put_fn is not None:
-                        batch = self.device_put_fn(batch)
-                    q.put(batch)
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for idxs in batches:
+                        if stop.is_set():
+                            return
+                        samples = list(pool.map(
+                            lambda i: self.dataset[int(i)], idxs))
+                        batch = collate(samples)
+                        if self.device_put_fn is not None:
+                            batch = self.device_put_fn(batch)
+                        q.put(batch)
             except Exception as e:  # surface worker errors to the consumer
                 q.put(e)
             finally:
