@@ -18,7 +18,6 @@ Supports:
 from __future__ import annotations
 
 import dataclasses
-import math
 from dataclasses import dataclass, field
 from typing import Any, List, Optional, Sequence, Tuple
 

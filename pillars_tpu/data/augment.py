@@ -8,7 +8,7 @@ The numba kernels become vectorized NumPy (trials vectorized per object).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

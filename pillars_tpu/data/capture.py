@@ -21,11 +21,10 @@ from __future__ import annotations
 import dataclasses
 import pathlib
 import pickle
-from typing import Callable, Iterable, List, Optional, Sequence, Tuple
+from typing import Iterable, Optional, Sequence
 
 import numpy as np
 
-from pillars_tpu.geometry import np_boxes as nb
 
 # the 8 predefined capture rotations of the few-annotation trick
 # (reference realsense_make_dataset.py: fixed annotation at 8 known

@@ -19,7 +19,7 @@ from __future__ import annotations
 import pickle
 import threading
 import time
-from typing import Callable, Dict, Iterator, Optional, Tuple
+from typing import Callable, Dict, Optional
 
 import numpy as np
 

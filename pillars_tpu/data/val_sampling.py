@@ -13,7 +13,6 @@ from __future__ import annotations
 import copy
 import pathlib
 import pickle
-from typing import Optional
 
 import numpy as np
 

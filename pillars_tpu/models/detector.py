@@ -14,7 +14,6 @@ Differences from the reference, by design:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax

@@ -21,7 +21,7 @@ finer than the z extent, e.g.:
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ reference behavior replicated:
 
 from __future__ import annotations
 
-import json
 import os
 import pathlib
 import pickle

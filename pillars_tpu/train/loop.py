@@ -16,14 +16,12 @@ Batch layout (all dense, padded, batch-shardable over the 'data' mesh axis):
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 
-from pillars_tpu.config import Config
 from pillars_tpu.models.detector import PillarsDetector
 from pillars_tpu.train.optim import exponential_decay_schedule, make_optimizer
 

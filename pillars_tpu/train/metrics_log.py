@@ -14,7 +14,7 @@ import csv
 import os
 import sys
 import time
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 
 class MetricLogger:

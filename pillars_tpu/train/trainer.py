@@ -25,8 +25,8 @@ from pillars_tpu.eval.predict_to_anno import (infos_to_gt_annos,
                                               predictions_to_annos)
 from pillars_tpu.models.detector import PillarsDetector
 from pillars_tpu.train import checkpoint as ckpt
-from pillars_tpu.train.loop import (StepMetrics, TrainState,
-                                    create_train_state, make_train_step)
+from pillars_tpu.train.loop import (TrainState, create_train_state,
+                                    make_train_step)
 from pillars_tpu.train.metrics_log import MetricLogger
 from pillars_tpu.utils.profiling import StageTimer
 

@@ -8,12 +8,11 @@ debug_points, bb_pub_confidenceMap), load_data.py:2063-2085
 
 from __future__ import annotations
 
-import json
 import os
 import pickle
 import time
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -1,0 +1,77 @@
+"""CLI surface tests: the full synth-data -> create-data -> train ->
+evaluate -> visualize loop through pillars_tpu.cli.main on tiny configs."""
+
+import contextlib
+import io
+import os
+
+import numpy as np
+import pytest
+
+from pillars_tpu import cli
+
+
+def run_cli(args):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cli.main(args)
+    return buf.getvalue()
+
+
+TINY = ["model.voxel.max_points=4096", "model.voxel.max_voxels=512",
+        "model.target.max_gt_boxes=8"]
+
+
+@pytest.fixture(scope="module")
+def root(tmp_path_factory):
+    r = str(tmp_path_factory.mktemp("cli_ds"))
+    out = run_cli(["synth-data", "--root", r, "--num-train", "4",
+                   "--num-test", "2"])
+    assert "synthetic dataset" in out
+    return r
+
+
+class TestCLI:
+    def test_create_data_regenerates_infos(self, root):
+        out = run_cli(["create-data", "--root", root, "--num-train", "4",
+                       "--num-test", "2"])
+        assert "info file" in out and "gt database" in out
+        assert os.path.exists(f"{root}/kitti_infos_train.pkl")
+
+    def test_train_then_evaluate_checkpoint(self, root, tmp_path):
+        out_dir = str(tmp_path / "out")
+        out = run_cli([
+            "train", "--epochs", "1",
+            "--set", *TINY,
+            f"train_input.info_path={root}/kitti_infos_train.pkl",
+            f"train_input.dataset_root={root}",
+            f"train_input.sampler.info_path={root}/kitti_dbinfos_train.pkl",
+            "train_input.batch_size=2", "train_input.num_workers=1",
+            f"eval_input.info_path={root}/kitti_infos_val.pkl",
+            f"eval_input.dataset_root={root}", "eval_input.batch_size=2",
+            "runtime.num_devices=1",
+            f"out_dir={out_dir}"])
+        assert "best eval score" in out
+        ckpt = f"{out_dir}/model_1/checkpoints/weights_temp.pkl"
+        assert os.path.exists(ckpt)
+
+        out = run_cli([
+            "evaluate", "--checkpoint", ckpt,
+            "--set", *TINY,
+            f"eval_input.info_path={root}/kitti_infos_val.pkl",
+            f"eval_input.dataset_root={root}", "eval_input.batch_size=2",
+            "runtime.num_devices=1"])
+        assert "aggregate score" in out
+        assert "bev  AP" in out
+
+    def test_visualize(self, root, tmp_path):
+        out_dir = str(tmp_path / "viz")
+        out = run_cli(["visualize", "--root", root,
+                       "--info", "kitti_infos_val.pkl",
+                       "--out", out_dir, "--max-frames", "2"])
+        assert "rendered 2 frames" in out
+        assert len(os.listdir(out_dir)) == 2
+
+    def test_bad_override_fails_loudly(self, root):
+        with pytest.raises(KeyError):
+            run_cli(["evaluate", "--set", "model.nope=1"])
