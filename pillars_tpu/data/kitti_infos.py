@@ -154,14 +154,40 @@ def get_image_infos(data_path: str, image_ids: Sequence[int],
         return list(ex.map(map_func, image_ids))
 
 
+def remove_outside_points(points: np.ndarray, rect: np.ndarray,
+                          trv2c: np.ndarray, p2: np.ndarray,
+                          image_shape) -> np.ndarray:
+    """Drop points outside the camera frustum defined by the image bounds.
+
+    reference second/core/box_np_ops.py remove_outside_points, used by
+    create_data.py:60-62/:458-460 for real KITTI data (custom d435i datasets
+    skip it). Projects lidar points into the image plane via P2 and keeps
+    those landing inside [0, w) x [0, h) in front of the camera."""
+    cam = nb.lidar_to_camera(points[:, :3], rect, trv2c)
+    in_front = cam[:, 2] > 0
+    hom = np.concatenate([cam, np.ones((len(cam), 1), cam.dtype)], axis=1)
+    img = hom @ p2.T
+    z = np.where(np.abs(img[:, 2]) < 1e-6, 1e-6, img[:, 2])
+    u = img[:, 0] / z
+    v = img[:, 1] / z
+    h, w = int(image_shape[0]), int(image_shape[1])
+    keep = in_front & (u >= 0) & (u < w) & (v >= 0) & (v < h)
+    return points[keep]
+
+
 def calculate_num_points_in_gt(data_path: str, infos: List[Dict],
-                               relative_path: bool = True) -> None:
+                               relative_path: bool = True,
+                               remove_outside: bool = False) -> None:
     """Annotate infos with per-object point counts (reference
     create_data.py:28-93)."""
     root = pathlib.Path(data_path)
     for info in infos:
         v_path = (root / info["velodyne_path"]) if relative_path else info["velodyne_path"]
         points = _load_points(str(v_path))
+        if remove_outside:
+            points = remove_outside_points(
+                points, info["calib/R0_rect"], info["calib/Tr_velo_to_cam"],
+                info["calib/P2"], info["img_shape"])
         annos = info["annos"]
         num_obj = len([n for n in annos["name"] if n != "DontCare"])
         gt_cam = anno_to_rbboxes(annos)[:num_obj]

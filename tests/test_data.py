@@ -170,3 +170,20 @@ class TestAugmentInvariants:
         # membership preserved (points followed their boxes)
         inside_after = nb.points_in_rbbox(pts2, gt2).sum()
         assert inside_after >= inside_before * 0.95
+
+
+class TestRemoveOutsidePoints:
+    def test_frustum_filter(self):
+        from pillars_tpu.data.kitti_infos import remove_outside_points
+        from pillars_tpu.data.synthetic import RECT, VELO2CAM
+
+        # simple pinhole P2: fx = fy = 100, cx = 640, cy = 400
+        p2 = np.array([[100.0, 0, 640, 0], [0, 100.0, 400, 0],
+                       [0, 0, 1, 0], [0, 0, 0, 1]])
+        pts = np.array([
+            [5.0, 0.0, 0.0],    # straight ahead -> center of image, kept
+            [-5.0, 0.0, 0.0],   # behind the camera -> dropped
+            [0.1, 50.0, 0.0],   # extreme lateral -> projects off-image
+        ], dtype=np.float32)
+        kept = remove_outside_points(pts, RECT, VELO2CAM, p2, (800, 1280))
+        np.testing.assert_allclose(kept, pts[:1])
