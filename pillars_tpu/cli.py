@@ -3,11 +3,13 @@
 Replaces the reference's two fire entry points (reference train.py:936-937,
 create_data.py:553-554) with one CLI:
 
-    pillars-tpu train  --config cfg.yaml [--set key=value ...]
+    pillars-tpu train  --config cfg.yaml [--set key=value ...] [--resume ck]
     pillars-tpu evaluate --config cfg.yaml --checkpoint weights.pkl
     pillars-tpu create-data --root DATASET --num-train N [--num-test M]
     pillars-tpu synth-data --root DIR ...
+    pillars-tpu sample-val-data --val-info INFOS.pkl ...
     pillars-tpu stream --config cfg.yaml --checkpoint weights.pkl --hz 120
+    pillars-tpu visualize --root DATASET [--result result.pkl]
     pillars-tpu bench
 """
 

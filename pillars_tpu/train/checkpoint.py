@@ -1,5 +1,11 @@
-"""Checkpointing: orbax-backed named-parameter checkpoints + out-dir layout
-+ an importer for the reference's Keras .h5 weight files.
+"""Checkpointing: atomic pickle-pytree checkpoints + out-dir layout + an
+importer stub for the reference's Keras .h5 weight files.
+
+Pickled host pytrees were chosen over orbax deliberately: checkpoints here
+are small (one detector + optimizer state, a few MB), single-host, and must
+round-trip through plain Python tooling (the transfer-learning and analysis
+flows read them with pickle directly); the atomic tmp+rename write gives the
+needed crash safety without orbax's async machinery.
 
 reference behavior replicated:
 - auto-incrementing model dirs so a new run never clobbers an old one
