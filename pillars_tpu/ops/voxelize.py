@@ -120,7 +120,20 @@ def voxelize(points: jax.Array, num_valid: jax.Array, *,
     seg_start = jax.lax.cummax(jnp.where(is_start, idx, 0))
     rank = idx - seg_start
 
-    keep = valid_s & (rank < N) & (pillar_id < P)
+    if n_cells > P:
+        # arrival-order pillar cap (see voxelize_points for the rationale)
+        first_pos = order[seg_start]
+        start_key = jnp.where(is_start & valid_s, first_pos, maxpts)
+        order_by_arrival = jnp.argsort(start_key)
+        arrival_rank = jnp.zeros((maxpts,), jnp.int32).at[
+            order_by_arrival].set(jnp.arange(maxpts, dtype=jnp.int32))
+        seg_keep = arrival_rank[seg_start] < P
+        pillar_id = jnp.clip(
+            jnp.cumsum((is_start & seg_keep).astype(jnp.int32)) - 1, 0, P)
+    else:
+        seg_keep = jnp.ones((maxpts,), dtype=bool)
+
+    keep = valid_s & (rank < N) & seg_keep & (pillar_id < P)
     pid = jnp.where(keep, pillar_id, P)  # OOB -> dropped by scatter
     rnk = jnp.where(keep, rank, N)
 
@@ -136,7 +149,7 @@ def voxelize(points: jax.Array, num_valid: jax.Array, *,
     y = rem // nx
     x = rem - y * nx
     zyx = jnp.stack([z, y, x], axis=-1).astype(jnp.int32)
-    start_keep = is_start & valid_s & (pillar_id < P)
+    start_keep = is_start & valid_s & seg_keep & (pillar_id < P)
     spid = jnp.where(start_keep, pillar_id, P)
     coords = jnp.zeros((P, 3), dtype=jnp.int32)
     coords = coords.at[spid].set(zyx, mode="drop")
@@ -186,7 +199,26 @@ def voxelize_points(points: jax.Array, num_valid: jax.Array, *,
     seg_start = jax.lax.cummax(jnp.where(is_start, idx, 0))
     rank = idx - seg_start
 
-    keep = valid_s & (rank < N) & (pillar_id < P)
+    if n_cells > P:
+        # The grid can produce more distinct cells than max_voxels: the
+        # reference keeps the FIRST max_voxels pillars in ARRIVAL order
+        # (load_data.py:630-637). Rank each pillar by the original position
+        # of its first point, keep the arrival-wise first P, and re-compact
+        # ids over the kept subset IN CELL ORDER so downstream scatters stay
+        # sorted. Compiled only for large-grid configs — unreachable with
+        # the shipped d435i config (10240 possible cells < 12000 max_voxels).
+        first_pos = order[seg_start]  # original index of each segment's head
+        start_key = jnp.where(is_start & valid_s, first_pos, maxpts)
+        order_by_arrival = jnp.argsort(start_key)
+        arrival_rank = jnp.zeros((maxpts,), jnp.int32).at[
+            order_by_arrival].set(jnp.arange(maxpts, dtype=jnp.int32))
+        seg_keep = arrival_rank[seg_start] < P  # per point, via its start
+        new_pid = jnp.cumsum((is_start & seg_keep).astype(jnp.int32)) - 1
+        pillar_id = jnp.clip(new_pid, 0, P)
+    else:
+        seg_keep = jnp.ones((maxpts,), dtype=bool)
+
+    keep = valid_s & (rank < N) & seg_keep & (pillar_id < P)
     # clamp instead of sentinel: stays non-decreasing over the sorted points
     point_pillar = jnp.minimum(pillar_id, P).astype(jnp.int32)
 
@@ -201,10 +233,10 @@ def voxelize_points(points: jax.Array, num_valid: jax.Array, *,
     zyx = jnp.stack([z, y, x], axis=-1).astype(jnp.int32)
     # all points of a pillar share the same zyx (>= 0), so a sorted
     # scatter-MAX of masked values recovers the per-pillar coords without
-    # needing unique start indices
+    # needing unique start indices; dropped pillars' points must be inert
     coords = jnp.zeros((P, 3), dtype=jnp.int32)
     coords = coords.at[point_pillar].max(
-        jnp.where(valid_s[:, None], zyx, 0), mode="drop",
+        jnp.where((valid_s & seg_keep)[:, None], zyx, 0), mode="drop",
         indices_are_sorted=True)
 
     return VoxelizedPoints(points_s, point_pillar, keep, num_points, coords,

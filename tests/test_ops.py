@@ -328,3 +328,37 @@ class TestTargetAssigner:
         assert np.all(labels[:100] == 0)
         assert np.all(labels[100:] == -1)
         assert float(jnp.sum(got.reg_weights)) == 0.0
+
+
+class TestPillarOverflowArrivalOrder:
+    def test_matches_reference_arrival_semantics(self, rng):
+        """When a cloud has more distinct cells than max_voxels, the
+        reference keeps the FIRST max_voxels pillars in input-arrival order
+        (load_data.py:630-637). Both jitted voxelizers must match the
+        loop-based oracle exactly in that regime."""
+        from pillars_tpu.config import VoxelConfig
+        from pillars_tpu.ops.voxelize import (make_point_voxelizer,
+                                              make_voxelizer, voxelize_np)
+
+        cfg = VoxelConfig(max_voxels=40, max_points_per_voxel=5,
+                          max_points=512)
+        pts = random_cloud(rng, 400)  # ~hundreds of distinct cells >> 40
+        padded = np.zeros((512, 3), np.float32)
+        padded[:400] = pts
+        ref_vox, ref_coors, ref_num = voxelize_np(
+            pts, cfg.voxel_size, cfg.point_cloud_range,
+            cfg.max_points_per_voxel, cfg.max_voxels)
+        assert len(ref_coors) == 40  # overflow actually happened
+
+        for mk in (make_voxelizer, make_point_voxelizer):
+            out = jax.jit(mk(cfg))(jnp.array(padded), jnp.int32(400))
+            mask = np.asarray(out.pillar_mask)
+            got_coords = np.asarray(out.coords)[mask]
+            got_num = np.asarray(out.num_points)[mask]
+            assert mask.sum() == 40
+            def key(c):
+                return c[:, 0] * 10**8 + c[:, 1] * 10**4 + c[:, 2]
+            ro = np.argsort(key(ref_coors))
+            go = np.argsort(key(got_coords))
+            np.testing.assert_array_equal(got_coords[go], ref_coors[ro])
+            np.testing.assert_array_equal(got_num[go], ref_num[ro])
