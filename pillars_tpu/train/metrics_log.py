@@ -44,17 +44,27 @@ class MetricLogger:
             self._wandb.log(metrics, step=step)
         if self._csv_path:
             row = {"step": step, "time": time.time(), **metrics}
-            write_header = (self._csv_keys is None
-                            or set(row) - set(self._csv_keys))
-            if write_header:
-                self._csv_keys = list(row)
-            exists = os.path.exists(self._csv_path)
-            with open(self._csv_path, "a", newline="") as f:
-                w = csv.DictWriter(f, fieldnames=self._csv_keys,
-                                   extrasaction="ignore")
-                if not exists or write_header and not exists:
+            new_keys = [k for k in row if k not in (self._csv_keys or [])]
+            if new_keys:
+                # key set grew (train-step keys vs eval keys): rewrite the
+                # file with the merged header so every row stays aligned
+                self._csv_keys = (self._csv_keys or []) + new_keys
+                old_rows = []
+                if os.path.exists(self._csv_path):
+                    with open(self._csv_path, newline="") as f:
+                        old_rows = list(csv.DictReader(f))
+                with open(self._csv_path, "w", newline="") as f:
+                    w = csv.DictWriter(f, fieldnames=self._csv_keys,
+                                       extrasaction="ignore")
                     w.writeheader()
-                w.writerow(row)
+                    for r in old_rows:
+                        w.writerow(r)
+                    w.writerow(row)
+            else:
+                with open(self._csv_path, "a", newline="") as f:
+                    w = csv.DictWriter(f, fieldnames=self._csv_keys,
+                                       extrasaction="ignore")
+                    w.writerow(row)
 
     # ------------------------------------------------------------------
     def log_train_step(self, step: int, epoch: int, m) -> None:

@@ -1,0 +1,125 @@
+"""Observability subsystem tests: metric logger sinks, streaming train
+metrics, stage timers, COCO eval variant, and a CPU end-to-end stream run."""
+
+import csv
+import os
+import time
+
+import numpy as np
+import pytest
+
+from pillars_tpu.train.metrics_log import MetricLogger
+from pillars_tpu.train import stream_metrics as sm
+from pillars_tpu.utils.profiling import StageTimer
+
+
+class TestMetricLogger:
+    def test_csv_sink_reference_key_names(self, tmp_path):
+        log = MetricLogger(str(tmp_path))
+
+        class M:
+            loc_loss_reduced = 1.5
+            cls_loss_reduced = 0.5
+            dir_loss_reduced = 0.25
+            loss = 2.25
+            learning_rate = 0.002
+
+        log.log_train_step(10, epoch=1, m=M())
+        mAP = np.arange(6, dtype=np.float64).reshape(1, 1, 6) * 10
+        log.log_eval(20, [ [mAP[0][0]] ], [ [mAP[0][0]] ], [ [mAP[0][0]] ],
+                     score=42.0)
+        rows = list(csv.DictReader(open(tmp_path / "metrics.csv")))
+        assert rows[0]["loss_locatization"] == "1.5"  # [sic], reference name
+        assert rows[0]["loss"] == "2.25"
+        ev = rows[-1]
+        assert float(ev["ev_3d_50"]) == 0.0
+        assert float(ev["ev_3d_75"]) == 50.0
+        assert float(ev["ev_average"]) == 42.0
+
+
+class TestStreamMetrics:
+    def test_scalar(self):
+        s = sm.Scalar()
+        s.update(2.0)
+        s.update(4.0)
+        assert s.value == 3.0
+        s.clear()
+        assert s.value == 0.0
+
+    def test_accuracy_ignores_dont_care(self):
+        a = sm.Accuracy(threshold=0.5)
+        labels = np.array([1, 0, -1, 1])
+        scores = np.array([[0.9], [0.2], [0.9], [0.1]])
+        a.update(labels, scores)
+        # cared: idx 0 (correct), 1 (correct), 3 (wrong) -> 2/3
+        assert a.value == pytest.approx(2 / 3)
+
+    def test_precision_recall(self):
+        pr = sm.PrecisionRecall(thresholds=(0.5,))
+        labels = np.array([1, 1, 0, 0])
+        scores = np.array([[0.9], [0.3], [0.8], [0.1]])
+        pr.update(labels, scores)
+        v = pr.value
+        assert v["precision"][0] == pytest.approx(0.5)  # tp=1 fp=1
+        assert v["recall"][0] == pytest.approx(0.5)     # tp=1 fn=1
+
+
+class TestStageTimer:
+    def test_rolling_window(self):
+        t = StageTimer(window=3)
+        for i in range(5):
+            with t.stage("t_network"):
+                time.sleep(0.001)
+        avgs = t.averages()
+        assert "t_network" in avgs and avgs["t_network"] >= 1.0
+        assert len(t._hist["t_network"]) == 3
+
+    def test_disabled_noop(self):
+        t = StageTimer(enabled=False)
+        with t.stage("x"):
+            pass
+        assert t.averages() == {}
+
+
+class TestCocoEval:
+    def test_coco_result(self):
+        from pillars_tpu.eval import kitti_ap
+        from tests.test_eval_ap import make_anno, scene
+
+        gt_annos, dt_annos = [], []
+        for s in range(16):
+            locs, dims, rots = scene(s)
+            gt_annos.append(make_anno(locs, dims, rots))
+            dt_annos.append(make_anno(locs, dims, rots, scores=[0.9, 0.8, 0.7]))
+        result, bbox, bev, d3, aos = kitti_ap.get_coco_eval_result(
+            gt_annos, dt_annos, ["Pedestrian"], compute_bbox=False)
+        assert "coco AP@0.25:0.05:0.70" in result
+        # perfect predictions across the whole IoU range
+        np.testing.assert_allclose(bev[0], 100.0)
+        np.testing.assert_allclose(d3[0], 100.0)
+
+
+class TestStreamEndToEnd:
+    def test_synthetic_stream_on_cpu(self):
+        """Full production loop on CPU: source thread -> mailbox -> jitted
+        graph -> detections callback."""
+        import jax
+
+        from pillars_tpu.config import Config
+        from pillars_tpu.data.stream import run_stream
+        from pillars_tpu.models.detector import PillarsDetector
+
+        cfg = Config.default()
+        cfg = cfg.override("model.voxel.max_points", 4096)
+        cfg = cfg.override("model.voxel.max_voxels", 512)
+        det = PillarsDetector(cfg)
+        variables = det.init(jax.random.PRNGKey(0), batch_size=1)
+        seen = []
+        stats = run_stream(cfg, det, variables, hz=30, duration_s=1.5,
+                           source="synthetic",
+                           on_detections=lambda b, s: seen.append(len(b)))
+        assert stats["frames_processed"] >= 1
+        assert stats["frames_processed"] == len(seen)
+        assert stats["latency_p50_ms"] > 0
+        # mailbox accounting: processed + skipped <= published frames (~45)
+        assert stats["frames_processed"] + stats["frames_skipped"] <= 50
