@@ -67,6 +67,16 @@ def cmd_evaluate(args):
         print("[evaluate] no checkpoint given - random init", file=sys.stderr)
         variables = det.init(jax.random.PRNGKey(0), batch_size=1)
     ev = Evaluator(cfg, det, measure_time=cfg.runtime.measure_time)
+    if args.coco:
+        # COCO-style AP over an IoU range (reference train.py:918, kept
+        # commented out there; eval.py:920-997)
+        from pillars_tpu.eval import kitti_ap
+
+        dt_annos, gt_annos = ev.run(variables, max_samples=args.max_samples)
+        result, _, _, _, _ = kitti_ap.get_coco_eval_result(
+            gt_annos, dt_annos, ev.class_names, compute_bbox=False)
+        print(result)
+        return
     result, bev, d3, aos, score = ev.evaluate(
         variables, max_samples=args.max_samples)
     print(result)
@@ -216,6 +226,9 @@ def main(argv: Optional[List[str]] = None):
     common(sp)
     sp.add_argument("--checkpoint", default=None)
     sp.add_argument("--max-samples", type=int, default=None)
+    sp.add_argument("--coco", action="store_true",
+                    help="COCO-style AP over an IoU range instead of the "
+                         "6-threshold official eval")
     sp.set_defaults(fn=cmd_evaluate)
 
     sp = sub.add_parser("create-data",

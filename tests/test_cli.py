@@ -64,6 +64,16 @@ class TestCLI:
         assert "aggregate score" in out
         assert "bev  AP" in out
 
+    def test_evaluate_coco(self, root):
+        out = run_cli([
+            "evaluate", "--coco", "--max-samples", "2",
+            "--set", *TINY,
+            f"eval_input.info_path={root}/kitti_infos_val.pkl",
+            f"eval_input.dataset_root={root}", "eval_input.batch_size=2",
+            "runtime.num_devices=1"])
+        assert "coco AP@" in out
+        assert "aggregate score" not in out
+
     def test_visualize(self, root, tmp_path):
         out_dir = str(tmp_path / "viz")
         out = run_cli(["visualize", "--root", root,
