@@ -123,6 +123,10 @@ class PFNConfig:
     # point-major PFN (bandwidth-optimal, numerically equivalent); the dense
     # [P, N, C] path remains available for cross-checking (models/pfn.py)
     pointwise: bool = True
+    # dense-cell inference front end (ops/voxelize.py::voxelize_cells +
+    # models/pfn.py::DenseCellPFN): pillar space == cell grid, one scatter
+    # total. Auto-disabled when the grid has more cells than max_voxels.
+    dense_cell: bool = True
 
 
 @dataclass

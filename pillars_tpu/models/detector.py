@@ -25,11 +25,13 @@ from pillars_tpu.geometry import boxes as gb
 from pillars_tpu.models.losses import LossOutput, detection_loss
 from pillars_tpu.models.pfn import PillarFeatureNet, PointwisePFN
 from pillars_tpu.models.rpn import RPN
-from pillars_tpu.ops.anchors import AnchorSet, anchors_mask_batched, build_anchors
+from pillars_tpu.ops.anchors import (AnchorSet, anchors_mask_batched,
+                                     anchors_mask_from_dense, build_anchors)
 from pillars_tpu.ops.nms import nms_standup
 from pillars_tpu.ops.scatter import scatter_to_canvas_batched
 from pillars_tpu.ops.targets import assign_targets_batched
-from pillars_tpu.ops.voxelize import make_point_voxelizer, make_voxelizer
+from pillars_tpu.ops.voxelize import (make_cell_voxelizer,
+                                      make_point_voxelizer, make_voxelizer)
 
 from flax import linen as nn
 
@@ -114,6 +116,12 @@ class PillarsDetector:
         else:
             self.voxelize = make_voxelizer(self.mcfg.voxel)
         _, self.ny, self.nx = self.mcfg.feature_map_size
+        gx, gy, gz = self.mcfg.voxel.grid_size
+        self.dense_cell = (self.mcfg.pfn.dense_cell
+                           and not self.mcfg.middle.enabled
+                           and gx * gy * gz <= self.mcfg.voxel.max_voxels)
+        self.cell_voxelize = (make_cell_voxelizer(self.mcfg.voxel)
+                              if self.dense_cell else None)
 
     # ------------------------------------------------------------------
     def init(self, rng: jax.Array, batch_size: int = 1) -> Dict[str, Any]:
@@ -298,6 +306,50 @@ class PillarsDetector:
         return tail.apply(rpn_vars, b1, b2, b3, False)
 
     # ------------------------------------------------------------------
+    def _forward_dense(self, variables, points, num_valid, thr):
+        """Dense-cell inference front end: scatter-free voxelization
+        (ops/voxelize.py::voxelize_cells) + DenseCellPFN (one wide scatter
+        total) + reshape canvas + occupancy-derived anchors mask. Returns
+        (head preds, anchors mask). Numerically equivalent to the
+        VoxelizedPoints path; the pillar index space is the cell grid, so
+        the per-pillar coords/counts scatters (each ~0.3 ms latency-bound
+        on TPU) disappear."""
+        from pillars_tpu.models.pfn import DenseCellPFN
+        from pillars_tpu.models.rpn import RPN as _RPN
+
+        b = points.shape[0]
+        nx, ny, nz = self.mcfg.voxel.grid_size
+        n_cells = nx * ny * nz
+        cv = self.cell_voxelize(points, num_valid)  # batched natively
+        flat = lambda a: a.reshape((b * a.shape[1],) + a.shape[2:])
+        offset = (jnp.arange(b, dtype=jnp.int32) * n_cells)[:, None]
+        cell_global = cv.cell + offset  # stays non-decreasing over the fold
+
+        pfn = DenseCellPFN(self.mcfg, dtype=self.dtype)
+        cell_feats, num_points = pfn.apply(
+            {"params": variables["params"]["pfn"],
+             "batch_stats": variables["batch_stats"]["pfn"]},
+            flat(cv.points), flat(cv.cell), flat(cell_global), flat(cv.kept),
+            flat(cv.count), flat(cv.mean), jnp.sum(cv.num_pillars),
+            b * n_cells, train=False)
+
+        # cell id = (z*ny + y)*nx + x, so the canvas is a reshape; the
+        # z-layer SUM preserves the reference's scatter-ADD quirk
+        # (ops/scatter.py, reference model/pointpillars.py:314-318)
+        canvas = cell_feats.reshape(b, nz, ny, nx, -1).sum(axis=1)
+        dense_grid = (num_points > 0).reshape(b, nz, ny, nx).astype(
+            jnp.float32).sum(axis=1)
+        sat_corners = jnp.asarray(self.anchor_set.sat_corners)
+        amask = jax.vmap(
+            lambda d: anchors_mask_from_dense(d, sat_corners, thr))(dense_grid)
+
+        rpn_vars = {"params": variables["params"]["rpn"],
+                    "batch_stats": variables["batch_stats"]["rpn"]}
+        preds = _RPN(self.mcfg, dtype=self.dtype).apply(rpn_vars, canvas,
+                                                        False)
+        return preds, amask
+
+    # ------------------------------------------------------------------
     def make_inference_fn(self, anchor_area_threshold: Optional[float] = None):
         """One jitted graph: padded pointclouds -> final boxes.
 
@@ -312,13 +364,17 @@ class PillarsDetector:
                 and jax.default_backend() not in ("cpu", "gpu"))
 
         def fn(variables, points, num_valid, rect, trv2c):
-            voxelized = self.voxelize_batch(points, num_valid)
-            amask = self.anchors_mask_batch(
-                voxelized.coords, voxelized.pillar_mask, thr)
-            if fast:
-                preds = self._forward_fast(variables, voxelized)
+            if self.dense_cell:
+                preds, amask = self._forward_dense(variables, points,
+                                                   num_valid, thr)
             else:
-                preds = self.apply(variables, voxelized, train=False)
+                voxelized = self.voxelize_batch(points, num_valid)
+                amask = self.anchors_mask_batch(
+                    voxelized.coords, voxelized.pillar_mask, thr)
+                if fast:
+                    preds = self._forward_fast(variables, voxelized)
+                else:
+                    preds = self.apply(variables, voxelized, train=False)
             return self.postprocess(preds, amask, rect, trv2c)
 
         return jax.jit(fn)

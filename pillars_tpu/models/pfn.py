@@ -95,8 +95,8 @@ class PointwisePFN(nn.Module):
         bn = _PointwiseMaskedBN(momentum=pcfg.bn_momentum,
                                 epsilon=pcfg.bn_eps, dtype=self.dtype,
                                 name="bn")
-        x, zero_vec = bn(x, kept, pillar_mask, N,
-                         use_running_average=not train)
+        count = jnp.sum(pillar_mask.astype(jnp.float32)) * N
+        x, zero_vec = bn(x, kept, count, use_running_average=not train)
         x = nn.relu(x)
         zero_contrib = nn.relu(zero_vec).astype(x.dtype)
 
@@ -111,6 +111,92 @@ class PointwisePFN(nn.Module):
         return out
 
 
+class DenseCellPFN(nn.Module):
+    """Scatter-minimal PFN over the dense CELL grid (ops/voxelize.py
+    CellVoxelized layout): the pillar index space is the grid itself, so
+    per-pillar coords are derived arithmetically from the cell id, the
+    cluster mean arrives precomputed per point (cumsum trick), and the ONLY
+    scatter in the whole front end is one wide sorted scatter-max that
+    fuses the feature reduction with the per-cell point count.
+
+    Numerically equivalent to PillarFeatureNet / PointwisePFN (same
+    parameter and batch_stats names: "dense", "bn" — checkpoints are
+    interchangeable); reference model/pointpillars.py:65-225.
+
+    Returns (cell_feats [BC, F], num_points [BC]) where BC = batch * n_cells
+    and cell_feats rows of empty cells are zero (reference empty canvas
+    cells, pointpillars.py:314-318).
+    """
+
+    cfg: ModelConfig
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, points, cell_local, cell_global, kept, count, mean,
+                 num_pillars, n_cells_total: int, train: bool = False):
+        """points [M, D] (cell-sorted, batch-folded), cell_local [M] (id in
+        the per-sample grid; sentinel n_cells when invalid), cell_global [M]
+        (batch-offset, NON-DECREASING), kept [M], count [M], mean [M, 3],
+        num_pillars [] (total occupied cells across the fold)."""
+        pcfg = self.cfg.pfn
+        vx, vy = self.cfg.voxel.voxel_size[:2]
+        pcr = self.cfg.voxel.point_cloud_range
+        x_offset = vx / 2 + pcr[0]
+        y_offset = vy / 2 + pcr[1]
+        nx, ny, _ = self.cfg.voxel.grid_size
+        num_filters = pcfg.num_filters
+        N = self.cfg.voxel.max_points_per_voxel
+
+        # pillar-center offsets straight from the cell id (static coords)
+        rem = jnp.remainder(cell_local, ny * nx)
+        cyi = rem // nx
+        cxi = rem - cyi * nx
+        cx = cxi.astype(points.dtype) * vx + x_offset
+        cy = cyi.astype(points.dtype) * vy + y_offset
+
+        feats = jnp.concatenate([
+            points,
+            points[:, :3] - mean,
+            (points[:, 0] - cx)[:, None],
+            (points[:, 1] - cy)[:, None],
+        ], axis=-1)
+        feats = jnp.where(kept[:, None], feats, 0)
+
+        x = nn.Dense(num_filters, use_bias=False, kernel_init=he_uniform,
+                     dtype=self.dtype, name="dense")(feats)
+        bn = _PointwiseMaskedBN(momentum=pcfg.bn_momentum,
+                                epsilon=pcfg.bn_eps, dtype=self.dtype,
+                                name="bn")
+        x, zero_vec = bn(x, kept, num_pillars.astype(jnp.float32) * N,
+                         use_running_average=not train)
+        x = nn.relu(x)
+        zero_contrib = nn.relu(zero_vec).astype(x.dtype)
+
+        neg = jnp.asarray(-jnp.inf, dtype=x.dtype)
+        xm = jnp.where(kept[:, None], x, neg)
+        # fuse the per-cell count into the same scatter as channel F: all
+        # valid rows of a cell carry the identical count, so max == count;
+        # invalid rows are -inf everywhere and cannot corrupt a colliding
+        # row (per-sample sentinels alias the next sample's cell 0)
+        valid = cell_local < (ny * nx * self.cfg.voxel.grid_size[2])
+        cnt_ch = jnp.where(valid, count.astype(x.dtype), neg)
+        aug = jnp.concatenate([xm, cnt_ch[:, None]], axis=-1)
+
+        seg = jnp.full((n_cells_total, num_filters + 1), neg, dtype=x.dtype)
+        seg = seg.at[cell_global].max(aug, mode="drop",
+                                      indices_are_sorted=True)
+        cell_feats = seg[:, :num_filters]
+        npts = seg[:, num_filters]
+
+        occupied = npts > 0
+        pad_rows = npts < N  # empty cells (-inf) are masked below anyway
+        cell_feats = jnp.maximum(
+            cell_feats, jnp.where(pad_rows[:, None], zero_contrib[None], neg))
+        cell_feats = jnp.where(occupied[:, None], cell_feats, 0)
+        num_points = jnp.where(occupied, npts, 0).astype(jnp.int32)
+        return cell_feats, num_points
+
+
 class _PointwiseMaskedBN(nn.Module):
     """BatchNorm over point-major activations with dense-layout statistics.
 
@@ -122,8 +208,10 @@ class _PointwiseMaskedBN(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, kept, pillar_mask, slots_per_pillar: int,
-                 use_running_average: bool):
+    def __call__(self, x, kept, count, use_running_average: bool):
+        """``count`` is the scalar row count of the equivalent dense layout
+        (real pillars x slots per pillar) so statistics match
+        MaskedBatchNorm exactly."""
         features = x.shape[-1]
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros(features, jnp.float32))
@@ -136,9 +224,7 @@ class _PointwiseMaskedBN(nn.Module):
         else:
             xf = x.astype(jnp.float32)
             k = kept[:, None].astype(jnp.float32)
-            count = jnp.maximum(
-                jnp.sum(pillar_mask.astype(jnp.float32)) * slots_per_pillar,
-                1.0)
+            count = jnp.maximum(count.astype(jnp.float32), 1.0)
             mean = jnp.sum(xf * k, axis=0) / count
             mean2 = jnp.sum(xf * xf * k, axis=0) / count
             var = jnp.maximum(mean2 - mean * mean, 0.0)

@@ -118,6 +118,27 @@ def build_anchors(cfg: ModelConfig) -> AnchorSet:
     return AnchorSet(anchors, matched, unmatched, coor, standup_bv)
 
 
+def anchors_mask_from_dense(dense: jax.Array, sat_corners,
+                            area_threshold: float) -> jax.Array:
+    """[ny, nx] per-location pillar count -> [A] bool anchor mask.
+
+    The SAT half of the reference's fused_get_anchors_area
+    (load_data.py:558-585): 2D cumsum -> 4 gathers at precomputed integer
+    anchor corners -> area > threshold."""
+    sat = jnp.cumsum(jnp.cumsum(dense, axis=0), axis=1)
+
+    x0 = sat_corners[:, 0]
+    y0 = sat_corners[:, 1]
+    x1 = sat_corners[:, 2]
+    y1 = sat_corners[:, 3]
+    ID = sat[y1, x1]
+    IA = sat[y0, x0]
+    IB = sat[y1, x0]
+    IC = sat[y0, x1]
+    area = ID - IB - IC + IA
+    return area > area_threshold
+
+
 def anchors_mask(coords: jax.Array, pillar_mask: jax.Array,
                  sat_corners: np.ndarray, ny: int, nx: int,
                  area_threshold: float) -> jax.Array:
@@ -132,18 +153,7 @@ def anchors_mask(coords: jax.Array, pillar_mask: jax.Array,
     dense = jnp.zeros((ny * nx,), dtype=jnp.float32)
     dense = dense.at[flat].add(pillar_mask.astype(jnp.float32), mode="drop")
     dense = dense.reshape(ny, nx)
-    sat = jnp.cumsum(jnp.cumsum(dense, axis=0), axis=1)
-
-    x0 = sat_corners[:, 0]
-    y0 = sat_corners[:, 1]
-    x1 = sat_corners[:, 2]
-    y1 = sat_corners[:, 3]
-    ID = sat[y1, x1]
-    IA = sat[y0, x0]
-    IB = sat[y1, x0]
-    IC = sat[y0, x1]
-    area = ID - IB - IC + IA
-    return area > area_threshold
+    return anchors_mask_from_dense(dense, sat_corners, area_threshold)
 
 
 def anchors_mask_batched(coords, pillar_mask, sat_corners, ny, nx, thr):

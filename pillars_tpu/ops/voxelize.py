@@ -243,6 +243,169 @@ def voxelize_points(points: jax.Array, num_valid: jax.Array, *,
                            num_points > 0)
 
 
+class CellVoxelized(NamedTuple):
+    """Dense-cell voxelization result for a BATCH of pointclouds: every
+    array is per-POINT; the pillar index space is the CELL GRID ITSELF.
+
+    Usable whenever the grid has no more cells than ``max_voxels`` (true for
+    the shipped d435i config: 80*64*2 = 10240 cells < 12000), so the
+    reference's pillar compaction is the identity and every pillar-indexed
+    quantity either becomes static (coords) or falls out of one wide
+    scatter (occupancy / counts). Motivation: on TPU, narrow scatters are
+    latency-bound (~0.3 ms each for 32k scalar updates through XLA scatter)
+    while cumsums and flat row gathers are ~free; this layout needs exactly
+    ONE scatter (the 128-wide feature max in the PFN) for the whole front
+    end. The function is batched NATIVELY (not vmapped) because batched
+    gathers with per-item indices lower ~6x slower than one flat gather in
+    global index space on TPU.
+
+    points:  [B, MAXPTS, D] cell-id-sorted points (stable within a cell ->
+             the reference's first-N-in-input-order cap survives,
+             reference load_data.py:593-692)
+    cell:    [B, MAXPTS] int32 sorted per-sample cell id; sentinel n_cells
+             for out-of-range/padding points
+    kept:    [B, MAXPTS] bool (in-range and rank < max_points_per_voxel)
+    count:   [B, MAXPTS] int32 kept points in this point's cell
+             (= reference num_points, capped at N); 0 for invalid points
+    mean:    [B, MAXPTS, 3] xyz mean over the cell's KEPT points
+             (the PFN cluster-offset feature, reference pointpillars.py:143)
+    num_pillars: [] int32 total occupied cells across the batch (for the
+             folded masked-BN statistics)
+    """
+
+    points: jax.Array
+    cell: jax.Array
+    kept: jax.Array
+    count: jax.Array
+    mean: jax.Array
+    num_pillars: jax.Array
+
+
+def voxelize_cells(points: jax.Array, num_valid: jax.Array, *,
+                   voxel_size, point_cloud_range, grid_size,
+                   max_points_per_voxel: int) -> CellVoxelized:
+    """Scatter-free voxelization of a batch onto the dense cell grid.
+
+    points [B, MAXPTS, D], num_valid [B]. Same assignment semantics as
+    :func:`voxelize_points` (sorted cells, first-N-in-input-order capping);
+    per-cell aggregates are computed with cumulative sums + flat
+    segment-boundary gathers instead of scatters."""
+    b, maxpts, dim = points.shape
+    vs = jnp.asarray(voxel_size, dtype=points.dtype)
+    pcr = jnp.asarray(point_cloud_range, dtype=points.dtype)
+    nx, ny, nz = (int(g) for g in grid_size)
+    n_cells = nx * ny * nz
+    N = int(max_points_per_voxel)
+
+    idx = jnp.arange(maxpts, dtype=jnp.int32)[None]        # [1, M]
+    row = (jnp.arange(b, dtype=jnp.int32) * maxpts)[:, None]  # [B, 1]
+    in_count = idx < num_valid[:, None]
+    c = jnp.floor((points[..., :3] - pcr[:3]) / vs).astype(jnp.int32)
+    gs = jnp.asarray([nx, ny, nz], dtype=jnp.int32)
+    valid = in_count & jnp.all((c >= 0) & (c < gs), axis=-1)
+    cell = (c[..., 2] * ny + c[..., 1]) * nx + c[..., 0]
+    cell = jnp.where(valid, cell, n_cells)
+
+    assert (n_cells + 1) * maxpts < 2**31, (
+        "dense-cell voxelizer requires a packable key; use voxelize_points")
+    # multi-operand sort: carry the point columns THROUGH the sort instead
+    # of gathering them afterwards — a narrow [B*M, D] gather is
+    # row-latency-bound on TPU (~3.5 ms at 262k rows) while the extra sort
+    # operands cost ~0.2 ms
+    key = cell * maxpts + idx
+    sorted_ops = jax.lax.sort(
+        (key,) + tuple(points[..., d] for d in range(dim)),
+        dimension=1, num_keys=1)
+    key_s = sorted_ops[0]
+    points_s = jnp.stack(sorted_ops[1:], axis=-1)
+    cell_s = key_s // maxpts
+    valid_s = cell_s < n_cells
+    # flat global-index gather (only used on the B == 1 mean path)
+    flat_rows = lambda a: a.reshape((b * maxpts,) + a.shape[2:])
+    gflat = lambda a, i: flat_rows(a)[(i + row).reshape(-1)].reshape(
+        (b, maxpts) + a.shape[2:])
+
+    prev = jnp.concatenate(
+        [jnp.full((b, 1), -1, cell_s.dtype), cell_s[:, :-1]], axis=1)
+    is_start = cell_s != prev
+    seg_start = jax.lax.cummax(jnp.where(is_start, idx, 0), axis=1)
+    rank = idx - seg_start
+    kept = valid_s & (rank < N)
+
+    # segment end (= next segment's start) via a reverse running min over
+    # next-start candidates; the sentinel segment sits at the tail
+    nxt_candidate = jnp.concatenate(
+        [jnp.where(is_start[:, 1:], idx[:, 1:], maxpts),
+         jnp.full((b, 1), maxpts, jnp.int32)], axis=1)
+    seg_end = jax.lax.cummin(nxt_candidate, axis=1, reverse=True)
+    seg_len = seg_end - seg_start
+    count = jnp.where(valid_s, jnp.minimum(seg_len, N), 0)
+
+    # per-cell xyz mean over kept points, no scatter. Two strategies with
+    # identical semantics, chosen statically by batch size:
+    # - B == 1: masked cumsum differenced at segment boundaries (2 narrow
+    #   row gathers — ~2 ns/row at 32k rows, but ~13 ns/row at 262k, so
+    #   only the small-batch case). Center-relative accumulation + one
+    #   refinement pass keep the f32 boundary difference at ~1e-6.
+    # - B > 1: segmented prefix + suffix sums via associative_scan with
+    #   reset flags — no gathers at all, and exactly per-segment precision
+    #   (the running sum never crosses a segment boundary).
+    denom = jnp.maximum(count, 1).astype(points.dtype)[..., None]
+    vals = jnp.where(kept[..., None], points_s[..., :3], 0)
+
+    if b == 1:
+        center = (pcr[:3] + pcr[3:]) * 0.5
+
+        def seg_mean(values):
+            cum = jnp.cumsum(jnp.where(kept[..., None], values, 0), axis=1)
+            total = gflat(cum, seg_end - 1)
+            before = jnp.where((seg_start > 0)[..., None],
+                               gflat(cum, jnp.maximum(seg_start - 1, 0)), 0)
+            return (total - before) / denom
+
+        mean = center + seg_mean(points_s[..., :3] - center)
+        mean = mean + seg_mean(points_s[..., :3] - mean)
+    else:
+        def seg_op(a, c_):
+            av, af = a
+            cv, cf = c_
+            return (jnp.where(cf, cv, av + cv), af | cf)
+
+        def seg_scan(values, flags):
+            f3 = jnp.broadcast_to(flags[..., None], values.shape)
+            out, _ = jax.lax.associative_scan(seg_op, (values, f3), axis=1)
+            return out
+
+        prefix = seg_scan(vals, is_start)  # within-segment, includes self
+        is_end = jnp.concatenate(
+            [is_start[:, 1:], jnp.ones((b, 1), bool)], axis=1)
+        suffix = jnp.flip(
+            seg_scan(jnp.flip(vals, axis=1), jnp.flip(is_end, axis=1)),
+            axis=1)
+        mean = (prefix + suffix - vals) / denom
+
+    num_pillars = jnp.sum((is_start & valid_s).astype(jnp.int32))
+    return CellVoxelized(points_s, cell_s.astype(jnp.int32), kept, count,
+                         mean, num_pillars)
+
+
+def make_cell_voxelizer(cfg: VoxelConfig):
+    """Bound dense-cell voxelizer, ready for jit/vmap. Only valid when the
+    grid fits inside max_voxels (no pillar capping possible)."""
+    nx, ny, nz = cfg.grid_size
+    if nx * ny * nz > cfg.max_voxels:
+        raise ValueError(
+            f"dense-cell voxelizer needs n_cells <= max_voxels "
+            f"({nx * ny * nz} > {cfg.max_voxels})")
+    return functools.partial(
+        voxelize_cells,
+        voxel_size=np.asarray(cfg.voxel_size, np.float32),
+        point_cloud_range=np.asarray(cfg.point_cloud_range, np.float32),
+        grid_size=cfg.grid_size,
+        max_points_per_voxel=cfg.max_points_per_voxel,
+    )
+
+
 def make_point_voxelizer(cfg: VoxelConfig):
     """Bound point-major voxelizer, ready for jit/vmap."""
     return functools.partial(
