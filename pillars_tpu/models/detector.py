@@ -141,7 +141,8 @@ class PillarsDetector:
     def anchors_mask_batch(self, coords, pillar_mask, threshold: float):
         return anchors_mask_batched(
             coords, pillar_mask, jnp.asarray(self.anchor_set.sat_corners),
-            self.ny, self.nx, threshold)
+            self.ny, self.nx, threshold,
+            structured=self.anchor_set.sat_structured)
 
     # ------------------------------------------------------------------
     def apply(self, variables, voxelized, train: bool = False,
@@ -341,7 +342,9 @@ class PillarsDetector:
             jnp.float32).sum(axis=1)
         sat_corners = jnp.asarray(self.anchor_set.sat_corners)
         amask = jax.vmap(
-            lambda d: anchors_mask_from_dense(d, sat_corners, thr))(dense_grid)
+            lambda d: anchors_mask_from_dense(
+                d, sat_corners, thr,
+                structured=self.anchor_set.sat_structured))(dense_grid)
 
         rpn_vars = {"params": variables["params"]["rpn"],
                     "batch_stats": variables["batch_stats"]["rpn"]}

@@ -351,7 +351,6 @@ def voxelize_cells(points: jax.Array, num_valid: jax.Array, *,
     #   reset flags — no gathers at all, and exactly per-segment precision
     #   (the running sum never crosses a segment boundary).
     denom = jnp.maximum(count, 1).astype(points.dtype)[..., None]
-    vals = jnp.where(kept[..., None], points_s[..., :3], 0)
 
     if b == 1:
         center = (pcr[:3] + pcr[3:]) * 0.5
@@ -366,6 +365,8 @@ def voxelize_cells(points: jax.Array, num_valid: jax.Array, *,
         mean = center + seg_mean(points_s[..., :3] - center)
         mean = mean + seg_mean(points_s[..., :3] - mean)
     else:
+        vals = jnp.where(kept[..., None], points_s[..., :3], 0)
+
         def seg_op(a, c_):
             av, af = a
             cv, cf = c_

@@ -362,3 +362,33 @@ class TestPillarOverflowArrivalOrder:
             go = np.argsort(key(got_coords))
             np.testing.assert_array_equal(got_coords[go], ref_coors[ro])
             np.testing.assert_array_equal(got_num[go], ref_num[ro])
+
+
+class TestStructuredSATMask:
+    """The slice-based anchors mask (StructuredSAT) must equal the gather
+    formulation bit for bit on every shipped config."""
+
+    @pytest.mark.parametrize("config_path", [
+        "configs/pedestrian_d435i.yaml", "configs/kitti_3class.yaml"])
+    def test_structured_equals_gather(self, config_path, rng):
+        from pillars_tpu.config import Config
+        from pillars_tpu.ops.anchors import anchors_mask_from_dense
+
+        cfg = Config.from_yaml(config_path)
+        aset = build_anchors(cfg.model)
+        assert aset.sat_structured is not None, (
+            "shipped configs must take the structured path")
+        nx, ny, _ = cfg.model.voxel.grid_size
+        for trial in range(3):
+            dense = (rng.rand(ny, nx) < 0.1).astype(np.float32) * (
+                1 + rng.randint(0, 2, (ny, nx)))
+            got = np.asarray(jax.jit(
+                lambda d: anchors_mask_from_dense(
+                    d, jnp.asarray(aset.sat_corners), 1.0,
+                    structured=aset.sat_structured))(jnp.asarray(dense)))
+            want = np.asarray(jax.jit(
+                lambda d: anchors_mask_from_dense(
+                    d, jnp.asarray(aset.sat_corners), 1.0))(
+                        jnp.asarray(dense)))
+            np.testing.assert_array_equal(got, want)
+            assert want.any()  # non-degenerate scene
