@@ -180,18 +180,27 @@ def voxelize_points(points: jax.Array, num_valid: jax.Array, *,
     cell = (c[:, 2] * ny + c[:, 1]) * nx + c[:, 0]
     cell = jnp.where(valid, cell, n_cells)
 
+    # Multi-operand sort: carry the point columns THROUGH the sort instead
+    # of gathering them afterwards — per-item gathers are row-latency-bound
+    # on TPU and pathological under vmap (see CLAUDE.md). With a packable
+    # (cell, position) int32 key one unstable sort gives stability for
+    # free; for huge grids the position is a tie-breaking second key.
+    dim = points.shape[-1]
+    cols = tuple(points[..., d] for d in range(dim))
     if (n_cells + 1) * maxpts < 2**31:
-        # pack (cell, position) into ONE int32 key: a single unstable sort
-        # of unique keys replaces the stable key-value argsort — the sort is
-        # the voxelizer's dominant cost on TPU
-        key = jnp.sort(cell * maxpts + idx)
-        order = jnp.remainder(key, maxpts)
-        cell_s = key // maxpts
-    else:  # huge grids (e.g. full KITTI): fall back to the stable argsort
-        order = jnp.argsort(cell, stable=True)
-        cell_s = cell[order]
+        key = cell * maxpts + idx
+        sorted_ops = jax.lax.sort((key,) + cols, dimension=0, num_keys=1)
+        key_s = sorted_ops[0]
+        order = jnp.remainder(key_s, maxpts)
+        cell_s = key_s // maxpts
+    else:  # huge grids (e.g. full KITTI): two int32 keys (cell, position)
+        sorted_ops = jax.lax.sort((cell, idx) + cols, dimension=0,
+                                  num_keys=2)
+        cell_s = sorted_ops[0]
+        order = sorted_ops[1]
+        sorted_ops = sorted_ops[1:]  # align payload offset with packed path
     valid_s = cell_s < n_cells  # valid <=> in-range cell, no gather needed
-    points_s = points[order]
+    points_s = jnp.stack(sorted_ops[1:], axis=-1)
 
     prev = jnp.concatenate([jnp.full((1,), -1, cell_s.dtype), cell_s[:-1]])
     is_start = cell_s != prev
