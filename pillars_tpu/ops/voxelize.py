@@ -317,10 +317,17 @@ def voxelize_cells(points: jax.Array, num_valid: jax.Array, *,
 
     assert (n_cells + 1) * maxpts < 2**31, (
         "dense-cell voxelizer requires a packable key; use voxelize_points")
+    # flat global-index gathers (cheap at B == 1: ~2 ns/row at 32k rows;
+    # row-latency-explosive at 262k rows, hence the B > 1 strategies below)
+    flat_rows = lambda a: a.reshape((b * maxpts,) + a.shape[2:])
+    gflat = lambda a, i: flat_rows(a)[(i + row).reshape(-1)].reshape(
+        (b, maxpts) + a.shape[2:])
     # multi-operand sort: carry the point columns THROUGH the sort instead
     # of gathering them afterwards — a narrow [B*M, D] gather is
-    # row-latency-bound on TPU (~3.5 ms at 262k rows) while the extra sort
-    # operands cost ~0.2 ms
+    # row-latency-bound (~3.5 ms at 262k rows) while the extra sort
+    # operands cost ~0.2 ms. (A B==1 single-key-sort + gather variant
+    # measured faster in isolation but NOT in the fused graph — kept
+    # uniform.)
     key = cell * maxpts + idx
     sorted_ops = jax.lax.sort(
         (key,) + tuple(points[..., d] for d in range(dim)),
@@ -329,10 +336,6 @@ def voxelize_cells(points: jax.Array, num_valid: jax.Array, *,
     points_s = jnp.stack(sorted_ops[1:], axis=-1)
     cell_s = key_s // maxpts
     valid_s = cell_s < n_cells
-    # flat global-index gather (only used on the B == 1 mean path)
-    flat_rows = lambda a: a.reshape((b * maxpts,) + a.shape[2:])
-    gflat = lambda a, i: flat_rows(a)[(i + row).reshape(-1)].reshape(
-        (b, maxpts) + a.shape[2:])
 
     prev = jnp.concatenate(
         [jnp.full((b, 1), -1, cell_s.dtype), cell_s[:, :-1]], axis=1)
