@@ -192,9 +192,15 @@ def cmd_visualize(args):
 
 
 def cmd_bench(args):
+    import os
     import runpy
 
-    runpy.run_path("bench.py", run_name="__main__")
+    # bench.py lives at the repo root next to the package, not inside it
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench.py")
+    if not os.path.exists(path):
+        path = "bench.py"  # fallback: current directory
+    runpy.run_path(path, run_name="__main__")
 
 
 def main(argv: Optional[List[str]] = None):
