@@ -43,16 +43,20 @@ class PointwisePFN(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, points, point_pillar, point_kept, num_points, coords,
-                 pillar_mask, train: bool = False):
+    def __call__(self, points, point_pillar, point_kept, point_mean,
+                 point_zyx, num_points, pillar_mask, train: bool = False):
         """points [MAXPTS, D] (cell-sorted), point_pillar [MAXPTS]
-        (NON-DECREASING, clamped), point_kept [MAXPTS],
-        num_points/coords/pillar_mask [P, ...]
+        (NON-DECREASING, clamped), point_kept [MAXPTS], point_mean
+        [MAXPTS, 3] (per-point pillar mean, precomputed scan-wise by the
+        voxelizer), point_zyx [MAXPTS, 3], num_points/pillar_mask [P]
         -> pillar features [P, num_filters].
 
-        Every scatter here passes indices_are_sorted=True (the voxelizer
-        guarantees monotone pillar ids) — on TPU that is the difference
-        between a vectorized and a serialized scatter."""
+        The only scatter left is the final segment-max; it passes
+        indices_are_sorted=True (the voxelizer guarantees monotone pillar
+        ids) — on TPU that is the difference between a vectorized and a
+        serialized scatter. (An earlier formulation scattered per-pillar
+        means and gathered them back per point: 3 extra row-latency-bound
+        ops, ~4 ms at KITTI's 131k points.)"""
         pcfg = self.cfg.pfn
         vx, vy = self.cfg.voxel.voxel_size[:2]
         pcr = self.cfg.voxel.point_cloud_range
@@ -64,19 +68,9 @@ class PointwisePFN(nn.Module):
         kept = point_kept
         pid = point_pillar
 
-        # per-pillar xyz mean over KEPT points (reference pointpillars.py:143)
-        sums = jnp.zeros((P, 3), dtype=points.dtype)
-        sums = sums.at[pid].add(
-            jnp.where(kept[:, None], points[:, :3], 0), mode="drop",
-            indices_are_sorted=True)
-        denom = jnp.maximum(num_points, 1).astype(points.dtype)[:, None]
-        means = sums / denom
-
-        safe_pid = jnp.minimum(pid, P - 1)
-        pt_mean = means[safe_pid]
-        pt_coords = coords[safe_pid]
-        cx = pt_coords[:, 2].astype(points.dtype) * vx + x_offset
-        cy = pt_coords[:, 1].astype(points.dtype) * vy + y_offset
+        pt_mean = point_mean
+        cx = point_zyx[:, 2].astype(points.dtype) * vx + x_offset
+        cy = point_zyx[:, 1].astype(points.dtype) * vy + y_offset
 
         feats = jnp.concatenate([
             points,

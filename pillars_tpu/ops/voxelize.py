@@ -66,6 +66,14 @@ class VoxelizedPoints(NamedTuple):
     point_kept:   [MAXPTS] bool; False for out-of-range / padding / beyond
                   max_points_per_voxel points (they carry a valid pillar id
                   but must not contribute)
+    point_mean:   [MAXPTS, 3] xyz mean over the point's pillar's KEPT points
+                  (the PFN cluster-offset feature, reference
+                  pointpillars.py:143-149) — computed here with segmented
+                  prefix/suffix scans because a per-point gather of a
+                  per-pillar mean is row-latency-bound on TPU (~13 ns/row
+                  at 131k rows)
+    point_zyx:    [MAXPTS, 3] int32 per-point grid cell (z, y, x) — the
+                  pillar-center offset source, gather-free
     num_points:   [P] int32 per-pillar counts (capped at N)
     coords:       [P, 3] int32 (z, y, x)
     pillar_mask:  [P] bool
@@ -74,6 +82,8 @@ class VoxelizedPoints(NamedTuple):
     points: jax.Array
     point_pillar: jax.Array
     point_kept: jax.Array
+    point_mean: jax.Array
+    point_zyx: jax.Array
     num_points: jax.Array
     coords: jax.Array
     pillar_mask: jax.Array
@@ -158,6 +168,20 @@ def voxelize(points: jax.Array, num_valid: jax.Array, *,
     return VoxelizedSample(voxels, num_points, coords, pillar_mask)
 
 
+def _seg_fill(values: jax.Array, flags: jax.Array) -> jax.Array:
+    """Propagate each segment-start value across its segment ("last flagged
+    value" scan) — pure vector work, no gathers. ``flags[0]`` must be True
+    (the first sorted point always starts a segment)."""
+
+    def op(a, c):
+        av, af = a
+        cv, cf = c
+        return (jnp.where(cf, cv, av), af | cf)
+
+    out, _ = jax.lax.associative_scan(op, (values, flags), axis=0)
+    return out
+
+
 def voxelize_points(points: jax.Array, num_valid: jax.Array, *,
                     voxel_size, point_cloud_range, grid_size,
                     max_points_per_voxel: int,
@@ -211,17 +235,22 @@ def voxelize_points(points: jax.Array, num_valid: jax.Array, *,
     if n_cells > P:
         # The grid can produce more distinct cells than max_voxels: the
         # reference keeps the FIRST max_voxels pillars in ARRIVAL order
-        # (load_data.py:630-637). Rank each pillar by the original position
-        # of its first point, keep the arrival-wise first P, and re-compact
-        # ids over the kept subset IN CELL ORDER so downstream scatters stay
-        # sorted. Compiled only for large-grid configs — unreachable with
-        # the shipped d435i config (10240 possible cells < 12000 max_voxels).
-        first_pos = order[seg_start]  # original index of each segment's head
+        # (load_data.py:630-637), then we re-compact ids over the kept
+        # subset IN CELL ORDER so downstream scatters stay sorted. A pillar
+        # survives iff the original position of its FIRST point is among the
+        # P smallest such positions. All vector work — no gathers/scatters
+        # (an earlier argsort+scatter+gather formulation cost ~3 ms at 131k
+        # rows on TPU; each 131k-row narrow gather/scatter is
+        # row-latency-bound at ~13 ns/row). Compiled only for large-grid
+        # configs — unreachable with the shipped d435i config (10240
+        # possible cells < 12000 max_voxels).
+        first_pos = _seg_fill(order, is_start)  # segment head's original idx
         start_key = jnp.where(is_start & valid_s, first_pos, maxpts)
-        order_by_arrival = jnp.argsort(start_key)
-        arrival_rank = jnp.zeros((maxpts,), jnp.int32).at[
-            order_by_arrival].set(jnp.arange(maxpts, dtype=jnp.int32))
-        seg_keep = arrival_rank[seg_start] < P  # per point, via its start
+        # threshold = P-th smallest head position (positions are unique);
+        # with fewer than P real segments the threshold is the sentinel and
+        # every segment survives
+        thr = jnp.sort(start_key)[P - 1] if P <= maxpts else maxpts
+        seg_keep = first_pos <= thr
         new_pid = jnp.cumsum((is_start & seg_keep).astype(jnp.int32)) - 1
         pillar_id = jnp.clip(new_pid, 0, P)
     else:
@@ -231,25 +260,77 @@ def voxelize_points(points: jax.Array, num_valid: jax.Array, *,
     # clamp instead of sentinel: stays non-decreasing over the sorted points
     point_pillar = jnp.minimum(pillar_id, P).astype(jnp.int32)
 
-    num_points = jnp.zeros((P,), dtype=jnp.int32)
-    num_points = num_points.at[point_pillar].add(
-        keep.astype(jnp.int32), mode="drop", indices_are_sorted=True)
-
     z = cell_s // (ny * nx)
     rem = cell_s - z * (ny * nx)
     y = rem // nx
     x = rem - y * nx
     zyx = jnp.stack([z, y, x], axis=-1).astype(jnp.int32)
-    # all points of a pillar share the same zyx (>= 0), so a sorted
-    # scatter-MAX of masked values recovers the per-pillar coords without
-    # needing unique start indices; dropped pillars' points must be inert
-    coords = jnp.zeros((P, 3), dtype=jnp.int32)
-    coords = coords.at[point_pillar].max(
-        jnp.where((valid_s & seg_keep)[:, None], zyx, 0), mode="drop",
-        indices_are_sorted=True)
 
-    return VoxelizedPoints(points_s, point_pillar, keep, num_points, coords,
-                           num_points > 0)
+    # per-point pillar mean over KEPT points: segmented prefix + suffix sums
+    # (associative scans with reset flags) — no scatters, no gathers, and
+    # exactly per-segment f32 precision (the running sum never crosses a
+    # segment boundary). Replaces the PFN's scatter-add + gather pair.
+    nxt_candidate = jnp.concatenate(
+        [jnp.where(is_start[1:], idx[1:], maxpts),
+         jnp.full((1,), maxpts, jnp.int32)])
+    seg_end = jax.lax.cummin(nxt_candidate, reverse=True)
+    seg_len = jnp.minimum(seg_end - seg_start, N)
+    is_end = jnp.concatenate([is_start[1:], jnp.ones((1,), bool)])
+    # accumulate relative to the point's CELL center (identical for every
+    # point of a segment): cuts the f32 rounding of the segmented sum by
+    # ~100x, keeping the scan mean within float noise of a per-pillar
+    # sequential sum
+    cell_center = (jnp.stack([x, y, z], axis=-1).astype(points.dtype) + 0.5
+                   ) * vs[:3] + pcr[:3]
+    vals = jnp.where(keep[:, None], points_s[:, :3] - cell_center, 0)
+
+    def seg_sum_op(a, c_):
+        av, af = a
+        cv, cf = c_
+        return (jnp.where(cf, cv, av + cv), af | cf)
+
+    def seg_scan(values, flags):
+        f3 = jnp.broadcast_to(flags[:, None], values.shape)
+        out, _ = jax.lax.associative_scan(seg_sum_op, (values, f3), axis=0)
+        return out
+
+    prefix = seg_scan(vals, is_start)
+    # per-segment total = prefix at the segment END, broadcast back with a
+    # reverse fill so every point of a pillar sees the IDENTICAL f32 mean
+    # (a prefix+suffix-self formulation rounds differently per point, which
+    # injects noise into the PFN cluster-offset feature)
+    end_rev = jnp.broadcast_to(jnp.flip(is_end, axis=0)[:, None],
+                               prefix.shape)
+    total = jnp.flip(_seg_fill(jnp.flip(prefix, axis=0), end_rev), axis=0)
+    denom = jnp.maximum(seg_len, 1).astype(points.dtype)[:, None]
+    point_mean = total / denom + cell_center
+
+    if n_cells > P:
+        # Per-pillar count/coords WITHOUT scatters: each segment's length
+        # falls out of the sorted layout (seg_len above), then one
+        # compaction sort keyed by pillar id moves segment-start rows to the
+        # front — row p of the sorted payload IS pillar p.
+        head = is_start & valid_s & seg_keep
+        ckey = jnp.where(head, pillar_id, maxpts + 1)
+        _, c_len, c_z, c_y, c_x = jax.lax.sort(
+            (ckey, seg_len, zyx[:, 0], zyx[:, 1], zyx[:, 2]), num_keys=1)
+        num_points = jnp.where(jnp.arange(P) < jnp.sum(head), c_len[:P], 0)
+        coords = jnp.where((num_points > 0)[:, None],
+                           jnp.stack([c_z[:P], c_y[:P], c_x[:P]], axis=-1), 0)
+    else:
+        num_points = jnp.zeros((P,), dtype=jnp.int32)
+        num_points = num_points.at[point_pillar].add(
+            keep.astype(jnp.int32), mode="drop", indices_are_sorted=True)
+        # all points of a pillar share the same zyx (>= 0), so a sorted
+        # scatter-MAX of masked values recovers the per-pillar coords without
+        # needing unique start indices; dropped pillars' points must be inert
+        coords = jnp.zeros((P, 3), dtype=jnp.int32)
+        coords = coords.at[point_pillar].max(
+            jnp.where((valid_s & seg_keep)[:, None], zyx, 0), mode="drop",
+            indices_are_sorted=True)
+
+    return VoxelizedPoints(points_s, point_pillar, keep, point_mean, zyx,
+                           num_points, coords, num_points > 0)
 
 
 class CellVoxelized(NamedTuple):
