@@ -86,7 +86,7 @@ class _Network(nn.Module):
         pillar_feats = pillar_feats.reshape(b, p, -1)
         _, ny, nx = self.cfg.feature_map_size
         if self.cfg.middle.enabled:
-            # SECOND-style path: dense 3D grid -> conv3d middle extractor
+            # SECOND dense path: dense 3D grid -> conv3d middle extractor
             from pillars_tpu.models.middle import (MiddleExtractor3D,
                                                    scatter_to_grid3d)
 
@@ -194,29 +194,34 @@ class PillarsDetector:
         # (anchor_type, field)-minor, so flat index a*7+j addresses field j
         # of anchor a.
         box_preds = preds["box_preds"].reshape(batch, -1).astype(jnp.float32)
-        cls_preds = preds["cls_preds"].reshape(batch, -1).astype(jnp.float32)
         dir_preds = preds["dir_cls_preds"].reshape(batch, -1).astype(
             jnp.float32) if pp.use_direction_classifier else jnp.zeros(
                 (batch, box_preds.shape[1] // 7 * 2), jnp.float32)
 
-        def one(box_p, cls_p, dir_p, amask, rect_i, trv2c_i):
-            # scores: sigmoid over the single foreground class
+        # per-anchor class max/argmax as a MINOR-AXIS reduce on the NHWC
+        # head tensor [B, ny, nx, T, C] — the (T, C)-minor split is a free
+        # reshape, the reduce is dense vector work, and the flat result
+        # preserves anchor order a = (y*nx + x)*T + t. A strided-1-D-slice
+        # formulation (best = cls[c::C] compares) measured 30.5 ms at KITTI
+        # scale (1.29M anchors, C=3) vs 2.8 ms for this one
+        # (scripts/probe_post2.py); sigmoid after max is equal to the
+        # reference's max-of-sigmoid (monotone).
+        cls_nhwc = preds["cls_preds"].astype(jnp.float32)
+        if C == 1:
+            # sigmoid over the single foreground class
             # (voxelnet.py:1149-1150, num_class_with_bg == 1 path)
-            if C == 1:
-                scores = jax.nn.sigmoid(cls_p)
-                labels0 = None
-            else:
-                # per-anchor class max/argmax via strided 1-D slices (each
-                # [A], dense); sigmoid after max (monotone, equal to the
-                # reference's max-of-sigmoid)
-                best = cls_p[0::C]
-                labels0 = jnp.zeros_like(best, dtype=jnp.int32)
-                for c in range(1, C):
-                    cc = cls_p[c::C]
-                    upd = cc > best
-                    best = jnp.where(upd, cc, best)
-                    labels0 = jnp.where(upd, c, labels0)
-                scores = jax.nn.sigmoid(best)
+            scores_all = jax.nn.sigmoid(cls_nhwc.reshape(batch, -1))
+            labels_all = jnp.zeros_like(scores_all, dtype=jnp.int32)
+        else:
+            split = cls_nhwc.reshape(cls_nhwc.shape[:-1]
+                                     + (cls_nhwc.shape[-1] // C, C))
+            scores_all = jax.nn.sigmoid(
+                jnp.max(split, axis=-1).reshape(batch, -1))
+            # first-max-wins tie-breaking, same as the sequential compare
+            labels_all = jnp.argmax(split, axis=-1).reshape(
+                batch, -1).astype(jnp.int32)
+
+        def one(box_p, scores, labels0, dir_p, amask, rect_i, trv2c_i):
             masked_scores = jnp.where(amask, scores, -jnp.inf)
             if pp.nms_score_threshold > 0.0:
                 masked_scores = jnp.where(
@@ -230,8 +235,7 @@ class PillarsDetector:
             sel_anchor = anchors[top_idx]
             dir_pair = dir_p[top_idx[:, None] * 2 + jnp.arange(2)]
             sel_dir = jnp.argmax(dir_pair, axis=-1)
-            sel_label = (jnp.zeros_like(top_idx) if labels0 is None
-                         else labels0[top_idx])
+            sel_label = labels0[top_idx]
 
             decoded = gb.second_box_decode(sel_box, sel_anchor)  # [k, 7]
             bev = decoded[:, jnp.array([0, 1, 3, 4, 6])]
@@ -256,8 +260,8 @@ class PillarsDetector:
             cam = gb.box_lidar_to_camera(out_boxes, rect_i, trv2c_i)
             return out_boxes, cam, out_scores, out_label, keep_valid
 
-        outs = jax.vmap(one)(box_preds, cls_preds, dir_preds, anchors_mask,
-                             rect, trv2c)
+        outs = jax.vmap(one)(box_preds, scores_all, labels_all, dir_preds,
+                             anchors_mask, rect, trv2c)
         return Predictions(*outs)
 
     # ------------------------------------------------------------------
