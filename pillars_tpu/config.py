@@ -127,15 +127,29 @@ class PFNConfig:
     # models/pfn.py::DenseCellPFN): pillar space == cell grid, one scatter
     # total. Auto-disabled when the grid has more cells than max_voxels.
     dense_cell: bool = True
+    # SECOND's SimpleVoxel encoder: per-voxel mean of the raw point
+    # features, no learned layer (second.pytorch voxel_encoder) — used in
+    # front of the sparse middle extractor. Requires pointwise=false.
+    simple_mean: bool = False
 
 
 @dataclass
 class MiddleConfig:
-    """SECOND-style 3D middle extractor (models/middle.py). Off by default
-    (PointPillars path); enable with a fine z voxel resolution."""
+    """SECOND-style 3D middle extractor. Off by default (PointPillars
+    path); enable with a fine z voxel resolution. ``sparse: false`` runs
+    dense conv3d (models/middle.py, d435i-scale grids); ``sparse: true``
+    runs submanifold/strided sparse convs over the active voxel set
+    (models/sparse_middle.py + ops/sparse_conv.py, full-KITTI grids)."""
 
     enabled: bool = False
     num_filters: Tuple[int, ...] = (16, 32)
+    sparse: bool = False
+    # sparse-path stage shape (one entry per num_filters stage):
+    subm_per_stage: int = 2
+    downsample_strides: Tuple[Tuple[int, int, int], ...] = ()
+    downsample_kernels: Tuple[Tuple[int, int, int], ...] = ()
+    # static active-voxel cap after each downsample (0 -> voxel.max_voxels)
+    max_active: int = 0
 
 
 @dataclass
@@ -208,9 +222,20 @@ class ModelConfig:
     @property
     def feature_map_size(self) -> Tuple[int, int, int]:
         """[1, ny, nx] — reference configs/train.yaml:60 / load_data.py:3023-3027.
-        out_size_factor = layer_strides[0] // upsample_strides[0] (== 1 here)."""
+        out_size_factor = layer_strides[0] // upsample_strides[0] (== 1 here).
+        With the sparse middle extractor, the BEV canvas the RPN sees is
+        additionally reduced by the middle stages' y/x strides."""
         out_size_factor = self.rpn.layer_strides[0] // self.rpn.upsample_strides[0]
         nx, ny, _ = self.voxel.grid_size
+        if self.middle.enabled and self.middle.sparse:
+            n = len(self.middle.num_filters)
+            strides = self.middle.downsample_strides or tuple(
+                (2, 1, 1) for _ in range(n))
+            kernels = self.middle.downsample_kernels or tuple(
+                (3, 3, 3) for _ in range(n))
+            for (kz, ky, kx), (sz, sy, sx) in zip(kernels, strides):
+                ny = (ny + 2 * ((ky - 1) // 2) - ky) // sy + 1
+                nx = (nx + 2 * ((kx - 1) // 2) - kx) // sx + 1
         return (1, ny // out_size_factor, nx // out_size_factor)
 
     @property

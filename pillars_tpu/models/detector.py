@@ -63,7 +63,15 @@ class _Network(nn.Module):
         pillar_mask = voxelized.pillar_mask
         b, p = pillar_mask.shape
         flat = lambda a: a.reshape((b * a.shape[1],) + a.shape[2:])
-        if self.cfg.pfn.pointwise:
+        if self.cfg.pfn.simple_mean:
+            # SECOND SimpleVoxel: per-voxel mean of raw point features
+            # (second.pytorch voxel_encoder.SimpleVoxel) — padded slots are
+            # zero, so sum / clamped count is the mean over real points
+            vox = flat(voxelized.voxels)
+            cnt = jnp.maximum(flat(voxelized.num_points), 1)
+            pillar_feats = (jnp.sum(vox, axis=1)
+                            / cnt[:, None].astype(vox.dtype))
+        elif self.cfg.pfn.pointwise:
             # offset per-sample pillar ids into the folded [B*P] space;
             # plain addition keeps them NON-DECREASING (sorted scatters) —
             # non-kept points carry inert values, so no sentinel redirect
@@ -85,7 +93,16 @@ class _Network(nn.Module):
                                flat(pillar_mask), train=train)
         pillar_feats = pillar_feats.reshape(b, p, -1)
         _, ny, nx = self.cfg.feature_map_size
-        if self.cfg.middle.enabled:
+        if self.cfg.middle.enabled and self.cfg.middle.sparse:
+            # SECOND sparse path: submanifold/strided sparse convs over
+            # the active voxel set (full-KITTI grids; models/sparse_middle)
+            from pillars_tpu.models.sparse_middle import (
+                SparseMiddleExtractor)
+
+            canvas = SparseMiddleExtractor(self.cfg, dtype=self.dtype,
+                                           name="middle")(
+                pillar_feats, coords, pillar_mask, train)
+        elif self.cfg.middle.enabled:
             # SECOND dense path: dense 3D grid -> conv3d middle extractor
             from pillars_tpu.models.middle import (MiddleExtractor3D,
                                                    scatter_to_grid3d)
@@ -141,10 +158,14 @@ class PillarsDetector:
         return jax.vmap(self.voxelize)(points, num_valid)
 
     def anchors_mask_batch(self, coords, pillar_mask, threshold: float):
+        # voxel-grid -> feature-map coord downscale (1 for PointPillars,
+        # where the canvas IS the feature map; 4 for the SECOND sparse
+        # middle, whose stages stride y/x before the RPN)
+        stride = max(1, self.mcfg.voxel.grid_size[1] // self.ny)
         return anchors_mask_batched(
             coords, pillar_mask, jnp.asarray(self.anchor_set.sat_corners),
             self.ny, self.nx, threshold,
-            structured=self.anchor_set.sat_structured)
+            structured=self.anchor_set.sat_structured, coord_stride=stride)
 
     # ------------------------------------------------------------------
     def apply(self, variables, voxelized, train: bool = False,

@@ -206,14 +206,17 @@ def anchors_mask_from_dense(dense: jax.Array, sat_corners,
 def anchors_mask(coords: jax.Array, pillar_mask: jax.Array,
                  sat_corners: np.ndarray, ny: int, nx: int,
                  area_threshold: float,
-                 structured: Optional[StructuredSAT] = None) -> jax.Array:
+                 structured: Optional[StructuredSAT] = None,
+                 coord_stride: int = 1) -> jax.Array:
     """[P, 3] pillar coords -> [A] bool anchor mask, fully on device.
 
     reference load_data.py:3050-3072: per-(y, x) pillar count (summed over
     z-layers) -> 2D cumsum -> summed-area-table area per anchor standup box
-    -> mask = area > threshold."""
-    y = coords[:, 1]
-    x = coords[:, 2]
+    -> mask = area > threshold. ``coord_stride`` downscales voxel-grid
+    coords onto the anchor feature map when they differ (SECOND sparse
+    middle: grid 1600x1408, anchors at 400x352)."""
+    y = coords[:, 1] // coord_stride
+    x = coords[:, 2] // coord_stride
     flat = jnp.where(pillar_mask, y * nx + x, ny * nx)
     dense = jnp.zeros((ny * nx,), dtype=jnp.float32)
     dense = dense.at[flat].add(pillar_mask.astype(jnp.float32), mode="drop")
@@ -223,7 +226,9 @@ def anchors_mask(coords: jax.Array, pillar_mask: jax.Array,
 
 
 def anchors_mask_batched(coords, pillar_mask, sat_corners, ny, nx, thr,
-                         structured: Optional[StructuredSAT] = None):
+                         structured: Optional[StructuredSAT] = None,
+                         coord_stride: int = 1):
     return jax.vmap(
         lambda c, m: anchors_mask(c, m, sat_corners, ny, nx, thr,
-                                  structured))(coords, pillar_mask)
+                                  structured, coord_stride))(
+                                      coords, pillar_mask)
