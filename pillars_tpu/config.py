@@ -331,6 +331,10 @@ class RuntimeConfig:
 
     data_axis: str = "data"
     num_devices: int = 0  # 0 = all visible
+    # BEV-grid model parallelism (parallel/spatial.py): set to the mesh
+    # axis name (e.g. "spatial") to shard the canvas + RPN along BEV y.
+    # Only valid when running under a mesh defining that axis.
+    spatial_axis: Optional[str] = None
     compute_dtype: str = "float32"  # "bfloat16" for the fast path
     measure_time: bool = False
     measure_time_extended: bool = False
