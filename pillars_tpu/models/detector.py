@@ -56,6 +56,10 @@ class _Network(nn.Module):
 
     cfg: ModelConfig
     dtype: Optional[jnp.dtype] = None
+    # BEV-grid model parallelism: when set, the canvas and head tensors
+    # carry with_sharding_constraint along this mesh axis and XLA SPMD
+    # halo-exchanges the conv stack (parallel/spatial.py)
+    spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, voxelized, train: bool = False):
@@ -116,7 +120,15 @@ class _Network(nn.Module):
         else:
             canvas = scatter_to_canvas_batched(pillar_feats, coords,
                                                pillar_mask, ny, nx)
-        return RPN(self.cfg, dtype=self.dtype, name="rpn")(canvas, train)
+        if self.spatial_axis:
+            from pillars_tpu.parallel.spatial import shard_canvas
+
+            canvas = shard_canvas(canvas, self.spatial_axis)
+        out = RPN(self.cfg, dtype=self.dtype, name="rpn")(canvas, train)
+        if self.spatial_axis:
+            out = {k: shard_canvas(v, self.spatial_axis)
+                   for k, v in out.items()}
+        return out
 
 
 class PillarsDetector:
@@ -129,7 +141,8 @@ class PillarsDetector:
             dtype = jnp.bfloat16
         self.dtype = dtype
         self.anchor_set: AnchorSet = build_anchors(self.mcfg)
-        self.network = _Network(self.mcfg, dtype=self.dtype)
+        self.network = _Network(self.mcfg, dtype=self.dtype,
+                                spatial_axis=config.runtime.spatial_axis)
         if self.mcfg.pfn.pointwise:
             self.voxelize = make_point_voxelizer(self.mcfg.voxel)
         else:
@@ -206,18 +219,23 @@ class PillarsDetector:
         anchors = jnp.asarray(self.anchor_set.anchors)
         batch = preds["box_preds"].shape[0]
         C = self.mcfg.num_class
-        # LAYOUT NOTE: the head tensors are flattened to DENSE 1-D arrays,
-        # never reshaped to [A, 7]/[A, C]. On TPU a skinny [1.29M, 3] array
-        # is tiled to (8, 128) with ~40x lane padding, so every elementwise
-        # op on it costs ~40x its true HBM traffic (measured 2.8 ms for the
-        # sigmoid/max/where chain at KITTI scale vs ~0.1 ms dense). The
-        # NHWC->flat reshape IS per-anchor order: channel layout is
-        # (anchor_type, field)-minor, so flat index a*7+j addresses field j
-        # of anchor a.
-        box_preds = preds["box_preds"].reshape(batch, -1).astype(jnp.float32)
-        dir_preds = preds["dir_cls_preds"].reshape(batch, -1).astype(
-            jnp.float32) if pp.use_direction_classifier else jnp.zeros(
-                (batch, box_preds.shape[1] // 7 * 2), jnp.float32)
+        # LAYOUT NOTE: the box/dir heads stay in [B, L, T*ch] — ny and nx
+        # merge for free (non-minor dims), and the channel dim keeps the
+        # conv output's native (possibly lane-padded) layout. Flattening
+        # them to 1-D forces a full relayout of the 54M-value box tensor
+        # (measured: postprocess costs 6.9 ms fused after the RPN vs
+        # 2.9 ms from a repacked bank at KITTI scale — scripts/
+        # probe_fuse.py); with row gathers at the native layout only the
+        # k=nms_pre selected rows are ever repacked. Channel layout is
+        # (anchor_type, field)-minor, so row l holds fields of anchors
+        # l*T .. l*T+T-1; skinny [A, ch] views are never materialized
+        # (8x128 tiling would lane-pad them ~40x).
+        T = self.mcfg.num_anchors_per_loc
+        box_lt = preds["box_preds"].astype(jnp.float32).reshape(
+            batch, -1, T * self.mcfg.box_code_size)
+        dir_lt = (preds["dir_cls_preds"].astype(jnp.float32).reshape(
+            batch, -1, T * 2) if pp.use_direction_classifier
+            else jnp.zeros((batch, box_lt.shape[1], T * 2), jnp.float32))
 
         # per-anchor class max/argmax as a MINOR-AXIS reduce on the NHWC
         # head tensor [B, ny, nx, T, C] — the (T, C)-minor split is a free
@@ -252,9 +270,17 @@ class PillarsDetector:
             k = pp.nms_pre_max_size
             top_scores, top_idx = jax.lax.top_k(masked_scores, k)
             top_valid = jnp.isfinite(top_scores)
-            sel_box = box_p[top_idx[:, None] * 7 + jnp.arange(7)]  # [k, 7]
+            # native-layout row gathers: anchor a = loc*T + t
+            loc = top_idx // T
+            t = top_idx % T
+            nb = self.mcfg.box_code_size
+            sel_box = jnp.take_along_axis(
+                box_p[loc].reshape(k, T, nb), t[:, None, None],
+                axis=1)[:, 0]                                     # [k, 7]
             sel_anchor = anchors[top_idx]
-            dir_pair = dir_p[top_idx[:, None] * 2 + jnp.arange(2)]
+            dir_pair = jnp.take_along_axis(
+                dir_p[loc].reshape(k, T, 2), t[:, None, None],
+                axis=1)[:, 0]                                     # [k, 2]
             sel_dir = jnp.argmax(dir_pair, axis=-1)
             sel_label = labels0[top_idx]
 
@@ -281,7 +307,7 @@ class PillarsDetector:
             cam = gb.box_lidar_to_camera(out_boxes, rect_i, trv2c_i)
             return out_boxes, cam, out_scores, out_label, keep_valid
 
-        outs = jax.vmap(one)(box_preds, scores_all, labels_all, dir_preds,
+        outs = jax.vmap(one)(box_lt, scores_all, labels_all, dir_lt,
                              anchors_mask, rect, trv2c)
         return Predictions(*outs)
 

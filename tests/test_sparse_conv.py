@@ -257,6 +257,37 @@ class TestSparseMiddleExtractor:
                                        np.asarray(solo[0]),
                                        rtol=1e-5, atol=1e-5)
 
+    def test_grads_flow_through_sparse_convs(self, rng):
+        from pillars_tpu.models.detector import PillarsDetector
+
+        cfg = self._cfg()
+        det = PillarsDetector(cfg)
+        variables = det.init(jax.random.PRNGKey(0), batch_size=1)
+        n = 120
+        pts = np.zeros((1, cfg.model.voxel.max_points, 3), np.float32)
+        pts[0, :n, 0] = rng.uniform(0, 6.4, n)
+        pts[0, :n, 1] = rng.uniform(-2.5, 2.5, n)
+        pts[0, :n, 2] = rng.uniform(-2.9, 2.9, n)
+        vox = det.voxelize_batch(jnp.asarray(pts),
+                                 jnp.asarray([n], jnp.int32))
+
+        def loss_fn(params):
+            preds, _ = det.apply(
+                {"params": params,
+                 "batch_stats": variables["batch_stats"]},
+                vox, train=True, mutable=["batch_stats"])
+            return jnp.sum(preds["box_preds"] ** 2)
+
+        grads = jax.grad(loss_fn)(variables["params"])
+        leaves = {
+            p: g for p, g in jax.tree_util.tree_leaves_with_path(grads)}
+        touched = 0
+        for path, g in leaves.items():
+            assert np.all(np.isfinite(np.asarray(g))), path
+            if "middle" in str(path) and np.any(np.asarray(g) != 0):
+                touched += 1
+        assert touched >= 4  # every sparse conv stage gets gradient
+
     def test_kitti_second_config(self):
         from pillars_tpu.config import Config
 
