@@ -1,0 +1,104 @@
+"""KITTI-scale fused train-step throughput on TPU (batch 2, 1.29M anchors).
+
+bench.py methodology: N steps inside one jitted scan over a batch bank,
+device_get-forced, sync baseline subtracted. The step reuses state across
+iterations (carry), so optimizer/BN updates execute every iteration.
+
+Usage: PYTHONPATH=/root/.axon_site:. JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache \
+       python scripts/probe_kitti_train.py
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pillars_tpu.config import Config
+from pillars_tpu.models.detector import PillarsDetector
+from pillars_tpu.train.loop import create_train_state, make_train_step
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--npts", type=int, default=100000)
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--bf16", action="store_true")
+    args = ap.parse_args()
+
+    cfg = Config.from_yaml("configs/kitti_3class.yaml")
+    if args.bf16:
+        cfg = cfg.override("runtime.compute_dtype", "bfloat16")
+    det = PillarsDetector(cfg)
+    B = args.batch
+    state, tx = create_train_state(det, jax.random.PRNGKey(0), B)
+    step = make_train_step(det, tx, donate=False)
+    maxpts = cfg.model.voxel.max_points
+    g = cfg.model.target.max_gt_boxes
+    n = args.npts
+
+    rng = np.random.RandomState(0)
+    NB = 2
+    pts = np.zeros((NB, B, maxpts, 4), np.float32)
+    for c in range(NB):
+        for b in range(B):
+            pts[c, b, :n, 0] = rng.uniform(0.0, 69.1, n)
+            pts[c, b, :n, 1] = rng.uniform(-39.6, 39.6, n)
+            pts[c, b, :n, 2] = rng.uniform(-3.0, 1.0, n)
+            pts[c, b, :n, 3] = rng.uniform(0.0, 1.0, n)
+    gt = np.zeros((NB, B, g, 7), np.float32)
+    gt[..., 0] = rng.uniform(5, 60, (NB, B, g))
+    gt[..., 1] = rng.uniform(-30, 30, (NB, B, g))
+    gt[..., 2] = -1.0
+    gt[..., 3:6] = [1.6, 3.9, 1.56]
+    bank = dict(
+        points=jnp.asarray(pts),
+        num_points=jnp.full((NB, B), n, jnp.int32),
+        gt_boxes=jnp.asarray(gt),
+        gt_classes=jnp.ones((NB, B, g), jnp.int32),
+        gt_valid=jnp.ones((NB, B, g), bool),
+    )
+
+    @jax.jit
+    def base(x):
+        return jnp.sum(x["points"][0, 0, 0])
+
+    _ = jax.device_get(base(bank))
+    syncs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = jax.device_get(base(bank))
+        syncs.append(time.perf_counter() - t0)
+    sync = min(syncs)
+    print(f"sync baseline {sync*1e3:.1f} ms; npts={n} B={B}", flush=True)
+
+    @jax.jit
+    def run(state, bank, reps):
+        def one(st, batch):
+            st2, metrics = step(st, batch)  # nested jit inlines under run
+            return st2, metrics.loss
+
+        def outer(i, st):
+            st2, _ = jax.lax.scan(one, st, bank)
+            return st2
+        return jax.lax.fori_loop(0, reps, outer, state)
+
+    t0 = time.perf_counter()
+    out = run(state, bank, 1)
+    _ = jax.device_get(out.step)
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = run(state, bank, args.iters)
+    _ = jax.device_get(jnp.sum(out.params["rpn"]["conv_box"]["bias"]))
+    total = time.perf_counter() - t0
+    ms = (total - sync) * 1e3 / (NB * args.iters)
+    print(f"train step B={B}: {ms:.2f} ms/step "
+          f"({B * 1000.0 / ms:.1f} samples/s)  compile {compile_s:.1f}s",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
