@@ -167,8 +167,18 @@ class PillarsDetector:
 
     # ------------------------------------------------------------------
     def voxelize_batch(self, points, num_valid):
-        """[B, MAXPTS, D] + [B] -> VoxelizedSample/VoxelizedPoints batch."""
-        return jax.vmap(self.voxelize)(points, num_valid)
+        """[B, MAXPTS, D] + [B] -> VoxelizedSample/VoxelizedPoints batch.
+
+        Deliberately NOT jax.vmap: batched lowering of the voxelizer's
+        sort/scan pipeline carries a ~5.5x penalty on TPU (measured on the
+        27-tap sparse rulebook, scripts/probe_sparse_mid2.py; same
+        pathology as vmapped gathers, CLAUDE.md). B == 1 squeezes;
+        B > 1 runs samples sequentially via lax.map — cheaper than the
+        vmap penalty at this model's batch sizes."""
+        if points.shape[0] == 1:
+            out = self.voxelize(points[0], num_valid[0])
+            return jax.tree_util.tree_map(lambda a: a[None], out)
+        return jax.lax.map(lambda t: self.voxelize(*t), (points, num_valid))
 
     def anchors_mask_batch(self, coords, pillar_mask, threshold: float):
         # voxel-grid -> feature-map coord downscale (1 for PointPillars,

@@ -8,8 +8,9 @@ canvas the RPN consumes. Dense conv3d (models/middle.py) covers d435i-scale
 grids; THIS module covers full-KITTI grids (1408 x 1600 x 40, ~0.02%%
 active) where a dense activation grid cannot exist.
 
-Batch handling: rulebooks are built per sample (vmapped sort-merge), then
-the batch folds into the row axis for conv/BN — one MXU matmul per kernel
+Batch handling: rulebooks are built per sample WITHOUT vmap (see
+_map_samples — batched sort lowering carries a ~5.5x penalty), then the
+batch folds into the row axis for conv/BN — one MXU matmul per kernel
 tap serves the whole batch, and BN statistics span every active voxel in
 the batch (BatchNorm1d-over-active-rows semantics, matching
 second.pytorch).
@@ -27,6 +28,23 @@ from flax import linen as nn
 from pillars_tpu.config import ModelConfig
 from pillars_tpu.models.pfn import _PointwiseMaskedBN
 from pillars_tpu.ops import sparse_conv as sp
+
+
+def _map_samples(fn, *args):
+    """Apply a per-sample function over the batch WITHOUT jax.vmap.
+
+    Batched lowering of the sort/scan/gather pipeline is ~5.5x slower than
+    the unbatched form on TPU (measured: the 27-tap rulebook costs 3.8 ms
+    unvmapped vs 20.8 ms under vmap at B=1, scripts/probe_sparse_mid2.py —
+    same pathology as vmapped gathers, CLAUDE.md). B == 1 squeezes and
+    re-expands; B > 1 runs samples sequentially via lax.map, which is
+    cheaper than the vmap penalty for the small batches this model trains
+    with."""
+    b = args[0].shape[0]
+    if b == 1:
+        out = fn(*(a[0] for a in args))
+        return jax.tree_util.tree_map(lambda x: x[None], out)
+    return jax.lax.map(lambda t: fn(*t), tuple(args))
 
 
 def _he_taps(key, shape, dtype=jnp.float32):
@@ -113,9 +131,9 @@ class SparseMiddleExtractor(nn.Module):
         for i, f in enumerate(filters):
             subm_kernel = (3, 3, 3)
             k_taps = 27
-            nbr = jax.vmap(
+            nbr = _map_samples(
                 lambda kk, vv: sp.neighbor_indices(kk, vv, dims,
-                                                   subm_kernel))(keys, valid)
+                                                   subm_kernel), keys, valid)
             nbr_g = fold_rulebook(nbr, cap)
             vflat = valid.reshape(-1)
             n_subm = m.subm_per_stage + (1 if i == 0 else 0)
@@ -127,17 +145,17 @@ class SparseMiddleExtractor(nn.Module):
 
             stride, kernel = strides[i], kernels[i]
             pad = tuple((k - 1) // 2 for k in kernel)
-            down = jax.vmap(
+            down = _map_samples(
                 lambda kk, vv: sp.downsample_active_set(
-                    kk, vv, dims, kernel, stride, pad, max_active)[:2]
-            )(keys, valid)
+                    kk, vv, dims, kernel, stride, pad, max_active)[:2],
+                keys, valid)
             okeys, ovalid = down
             odims = tuple(sp.conv_out_dim(n, k, s, p) for n, k, s, p in
                           zip(dims, kernel, stride, pad))
-            nbr = jax.vmap(
+            nbr = _map_samples(
                 lambda kk, vv, ok, ov: sp.strided_rulebook(
-                    kk, vv, ok, ov, dims, odims, kernel, stride, pad)
-            )(keys, valid, okeys, ovalid)
+                    kk, vv, ok, ov, dims, odims, kernel, stride, pad),
+                keys, valid, okeys, ovalid)
             nbr_g = fold_rulebook(nbr, cap)
             out_f = filters[min(i + 1, len(filters) - 1)]
             x = _SparseConvLayer(
@@ -159,7 +177,7 @@ class SparseMiddleExtractor(nn.Module):
                 jnp.where(vv[:, None], feats, 0), mode="drop",
                 indices_are_sorted=True)
 
-        canvas = jax.vmap(one)(x, keys, valid)
+        canvas = _map_samples(one, x, keys, valid)
         canvas = canvas.reshape(b, onz, ony, onx, c_out)
         return jnp.transpose(canvas, (0, 2, 3, 1, 4)).reshape(
             b, ony, onx, onz * c_out)

@@ -301,6 +301,40 @@ class TestSparseMiddleExtractor:
         n_cells = 1408 * 1600 * 40
         assert 2 * (n_cells + 1) < 2**31
 
+    def test_train_step_runs(self, rng):
+        """Full fused train step (voxelize + targets + fwd/bwd + AdamW)
+        through the sparse middle extractor on a tiny grid."""
+        import jax.numpy as jnp
+        from pillars_tpu.models.detector import PillarsDetector
+        from pillars_tpu.train.loop import create_train_state, make_train_step
+
+        cfg = self._cfg()
+        det = PillarsDetector(cfg)
+        B = 2
+        state, tx = create_train_state(det, jax.random.PRNGKey(0), B)
+        step = make_train_step(det, tx, donate=False)
+        n = 150
+        maxpts = cfg.model.voxel.max_points
+        g = cfg.model.target.max_gt_boxes
+        pts = np.zeros((B, maxpts, 3), np.float32)
+        pts[:, :n, 0] = rng.uniform(0, 6.4, (B, n))
+        pts[:, :n, 1] = rng.uniform(-2.5, 2.5, (B, n))
+        pts[:, :n, 2] = rng.uniform(-2.9, 0.5, (B, n))
+        gt = np.zeros((B, g, 7), np.float32)
+        gt[..., 3:6] = 1.0
+        gt[:, 0] = [3.0, 0.0, -1.5, 0.6, 0.8, 1.73, 0.3]
+        batch = dict(
+            points=jnp.asarray(pts),
+            num_points=jnp.full((B,), n, jnp.int32),
+            gt_boxes=jnp.asarray(gt),
+            gt_classes=jnp.ones((B, g), jnp.int32),
+            gt_valid=jnp.asarray(
+                np.pad(np.ones((B, 1), bool), ((0, 0), (0, g - 1)))),
+        )
+        state2, metrics = step(state, batch)
+        assert np.isfinite(float(metrics.loss))
+        assert int(state2.step) == 1
+
     def test_detector_forward(self, rng):
         from pillars_tpu.models.detector import PillarsDetector
 
