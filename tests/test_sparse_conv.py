@@ -128,6 +128,40 @@ class TestSubmConv:
         # center tap is the voxel itself
         assert np.all(nbr[vv, 13] == np.arange(cap)[vv])
 
+    def test_neighbor_indices_dense_runs_and_borders(self):
+        """Stress the 3x3x3 fast path (neighbor_indices_33): full x-rows
+        of consecutive keys, actives on x borders, and a leading query
+        with no preceding source."""
+        dims = (2, 3, 5)
+        rows = [
+            # full row at (z=0, y=0): keys 0..4
+            [(0, 0, xx) for xx in range(5)],
+            # sparse pattern with x borders at (z=1, y=2)
+            [(1, 2, 0), (1, 2, 2), (1, 2, 4)],
+            # singleton at (z=1, y=0)
+            [(1, 0, 3)],
+        ]
+        pts = [p for row in rows for p in row]
+        keys = np.sort([((z * 3 + y) * 5 + x) for z, y, x in pts])
+        cap = 16
+        n_cells = 2 * 3 * 5
+        full = np.full(cap, n_cells, np.int32)
+        full[:len(keys)] = keys
+        valid = np.arange(cap) < len(keys)
+        nbr = np.asarray(sp.neighbor_indices(
+            jnp.asarray(full), jnp.asarray(valid), dims, (3, 3, 3)))
+        lookup = {int(k): i for i, k in enumerate(keys)}
+        offs = sp.kernel_offsets((3, 3, 3))
+        for v in range(len(keys)):
+            z, y, x = np.unravel_index(full[v], dims)
+            for t, (dz, dy, dx) in enumerate(offs):
+                p = (z + dz - 1, y + dy - 1, x + dx - 1)
+                want = cap
+                if all(0 <= p[i] < dims[i] for i in range(3)):
+                    want = lookup.get(
+                        int(np.ravel_multi_index(p, dims)), cap)
+                assert nbr[v, t] == want, (v, t, (dz, dy, dx))
+
 
 class TestStridedConv:
     @pytest.mark.parametrize("kernel,stride", [
