@@ -63,6 +63,7 @@ class _SparseConvLayer(nn.Module):
     bn_momentum: float
     bn_eps: float
     dtype: Optional[jnp.dtype] = None
+    center_tap: int = -1  # identity tap (submanifold): skip its gather
 
     @nn.compact
     def __call__(self, x, nbr_global, valid, train: bool):
@@ -71,7 +72,8 @@ class _SparseConvLayer(nn.Module):
         cin = x.shape[-1]
         w = self.param("kernel", _he_taps, (self.taps, cin, self.features))
         y = sp.gather_conv(x.astype(self.dtype or x.dtype), nbr_global,
-                           w.astype(self.dtype or x.dtype))
+                           w.astype(self.dtype or x.dtype),
+                           center_tap=self.center_tap)
         bn = _PointwiseMaskedBN(momentum=self.bn_momentum,
                                 epsilon=self.bn_eps, dtype=self.dtype,
                                 name="bn")
@@ -140,7 +142,7 @@ class SparseMiddleExtractor(nn.Module):
             for j in range(n_subm):
                 x = _SparseConvLayer(
                     f, k_taps, self.cfg.rpn.bn_momentum,
-                    self.cfg.rpn.bn_eps, dtype=self.dtype,
+                    self.cfg.rpn.bn_eps, dtype=self.dtype, center_tap=13,
                     name=f"subm{i}_{j}")(x, nbr_g, vflat, train)
 
             stride, kernel = strides[i], kernels[i]

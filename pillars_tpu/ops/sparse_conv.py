@@ -321,13 +321,15 @@ def strided_rulebook(keys: jax.Array, valid: jax.Array,
 
 
 def gather_conv(features: jax.Array, nbr: jax.Array,
-                weights: jax.Array) -> jax.Array:
+                weights: jax.Array, center_tap: int = -1) -> jax.Array:
     """Sparse conv compute: out[v] = sum_k feats[nbr[v, k]] @ W[k].
 
     features [V, Cin], nbr [Vo, K] with sentinel V, weights [K, Cin, Cout].
     One zero guard row makes the sentinel inert; each tap is a flat row
     gather (1-D global indices) + an MXU matmul — the gathers are the only
-    row-addressed ops in the sparse path.
+    row-addressed ops in the sparse path. For submanifold convs pass
+    ``center_tap`` (the identity tap: nbr[:, c] == arange for valid rows,
+    padding rows hold zeros) to skip that tap's gather.
     """
     V, cin = features.shape
     K = nbr.shape[1]
@@ -335,8 +337,11 @@ def gather_conv(features: jax.Array, nbr: jax.Array,
         [features, jnp.zeros((1, cin), features.dtype)], axis=0)
     out = None
     for k in range(K):
-        g = jnp.take(ext, nbr[:, k], axis=0, indices_are_sorted=False,
-                     fill_value=None)
+        if k == center_tap:
+            g = features
+        else:
+            g = jnp.take(ext, nbr[:, k], axis=0,
+                         indices_are_sorted=False, fill_value=None)
         contrib = g @ weights[k]
         out = contrib if out is None else out + contrib
     return out
