@@ -129,7 +129,9 @@ def detection_loss(cfg: LossConfig, num_class: int, box_preds, cls_preds,
         box_preds.astype(jnp.float32), batch_size, 7)          # [B, 7, A]
     cls_preds = _heads_to_lane_major(
         cls_preds.astype(jnp.float32), batch_size, num_class)  # [B, C, A]
-    reg_targets = jnp.transpose(reg_targets, (0, 2, 1))        # [B, 7, A]
+    if reg_targets.shape[-1] == 7:  # [B, A, 7] -> lane-major [B, 7, A]
+        reg_targets = jnp.transpose(reg_targets, (0, 2, 1))
+    # else: already [B, 7, A] (ops/targets.py TargetAssignment layout)
 
     cls_weights, reg_weights, cared = prepare_loss_weights(labels, cfg)
     cls_targets = labels * cared.astype(labels.dtype)

@@ -172,10 +172,32 @@ def neighbor_indices_33(keys: jax.Array, valid: jax.Array,
             inb = (zz >= 0) & (zz < nz) & (yy >= 0) & (yy < ny) & valid
             qk.append(keys + (dz * ny + dy) * nx)
             qv.append(inb)
-    M = 9 * V
+    rm, r0, rp = _match9_xtriple(keys, valid, jnp.concatenate(qk),
+                                 jnp.concatenate(qv), n_cells, 9)
+
+    # x-bound masks (key adjacency wraps rows; real grid does not)
+    rm = jnp.where((x >= 1)[None, :], rm, V)
+    rp = jnp.where((x <= nx - 2)[None, :], rp, V)
+
+    # interleave to kernel_offsets order: tap index = (dz*3 + dy)*3 + dx
+    taps = []
+    for c in range(9):
+        taps.extend([rm[c], r0[c], rp[c]])
+    return jnp.stack(taps, axis=-1)
+
+
+def _match9_xtriple(keys, valid, qk, qv, n_cells: int, n_sets: int):
+    """Shared core of the kernel-x-size-3 fast paths: match ``n_sets``
+    concatenated query key sets against the sorted source keys and return,
+    PER QUERY, the source rows holding keys q-1 / q / q+1 — from one sort,
+    a last-two-sources forward scan (predecessor pair) and a successor
+    reverse fill. Caller applies x-boundary masks (key adjacency wraps
+    grid rows). Returns three [n_sets, V_src] arrays (sentinel V_src)."""
+    V = keys.shape[0]
+    M = qk.shape[0]
     big = jnp.int32(n_cells)
     k_src = jnp.where(valid, keys, big) * 2
-    k_qry = jnp.where(jnp.concatenate(qv), jnp.concatenate(qk), big) * 2 + 1
+    k_qry = jnp.where(qv, qk, big) * 2 + 1
     kall = jnp.concatenate([k_src, k_qry])
     pay = jnp.arange(V + M, dtype=jnp.int32)
     sk, sp = jax.lax.sort((kall, pay), num_keys=1)
@@ -199,19 +221,9 @@ def neighbor_indices_33(keys: jax.Array, valid: jax.Array,
 
     # restore query order: payload permutation sort-back, queries at tail
     _, o_m, o_0, o_p = jax.lax.sort((sp, rm, r0, rp), num_keys=1)
-    rm = jax.lax.slice_in_dim(o_m, V, V + M).reshape(9, V)
-    r0 = jax.lax.slice_in_dim(o_0, V, V + M).reshape(9, V)
-    rp = jax.lax.slice_in_dim(o_p, V, V + M).reshape(9, V)
-
-    # x-bound masks (key adjacency wraps rows; real grid does not)
-    rm = jnp.where((x >= 1)[None, :], rm, V)
-    rp = jnp.where((x <= nx - 2)[None, :], rp, V)
-
-    # interleave to kernel_offsets order: tap index = (dz*3 + dy)*3 + dx
-    taps = []
-    for c in range(9):
-        taps.extend([rm[c], r0[c], rp[c]])
-    return jnp.stack(taps, axis=-1)
+    out = lambda o: jax.lax.slice_in_dim(o, V, V + M).reshape(
+        n_sets, M // n_sets)
+    return out(o_m), out(o_0), out(o_p)
 
 
 def neighbor_indices(keys: jax.Array, valid: jax.Array,
@@ -258,26 +270,42 @@ def downsample_active_set(keys: jax.Array, valid: jax.Array,
     ``stride*o - pad + [0, k)`` (exact second.pytorch semantics). Returns
     (out_keys [max_active], out_valid [max_active]) over the output grid
     ``conv_out_dim(dims)``.
+
+    Candidate generation enumerates the PER-DIM output window
+    ``ceil((c-p)/s) .. floor((c+p)/s)`` instead of the K kernel taps:
+    2x2x2 = 8 candidate rows per voxel for a stride-2 3^3 conv instead of
+    27 (and 2 for the (3,1,1)/(2,1,1) z-squash), which is the sort volume
+    of the dedup below. Requires the submanifold padding (k-1)//2 and
+    k in {1, 3} per dim (all SECOND topologies).
     """
     nz, ny, nx = dims
     odims = tuple(conv_out_dim(n, k, s, p) for n, k, s, p in
                   zip(dims, kernel, stride, padding))
     onz, ony, onx = odims
+    for k, p in zip(kernel, padding):
+        assert p == (k - 1) // 2 and k in (1, 3), (
+            "lean candidate enumeration assumes k in {1,3}, pad (k-1)//2")
     z, y, x = _decompose(keys, dims)
 
+    def dim_cands(c, k, s, odim):
+        """[(o_j, valid_j)] covering every output whose window contains c."""
+        if k == 3:
+            start = (c + s - 2) // s          # ceil((c-1)/s), floor div
+            end = (c + 1) // s
+            n = 2 // s + 1
+        else:  # k == 1: only the exactly-divisible output
+            start = c // s
+            end = jnp.where(c == start * s, start, start - 1)
+            n = 1
+        return [(start + j, (start + j <= end) & (start + j >= 0)
+                 & (start + j < odim)) for j in range(n)]
+
     cand, cval = [], []
-    for dz, dy, dx in kernel_offsets(kernel):
-        num = (z + padding[0] - int(dz), y + padding[1] - int(dy),
-               x + padding[2] - int(dx))
-        oz = num[0] // stride[0]
-        oy = num[1] // stride[1]
-        ox = num[2] // stride[2]
-        exact = ((oz * stride[0] == num[0]) & (oy * stride[1] == num[1])
-                 & (ox * stride[2] == num[2]))
-        inb = ((oz >= 0) & (oz < onz) & (oy >= 0) & (oy < ony)
-               & (ox >= 0) & (ox < onx) & exact & valid)
-        cand.append((oz * ony + oy) * onx + ox)
-        cval.append(inb)
+    for oz, vz in dim_cands(z, kernel[0], stride[0], onz):
+        for oy, vy in dim_cands(y, kernel[1], stride[1], ony):
+            for ox, vx in dim_cands(x, kernel[2], stride[2], onx):
+                cand.append((oz * ony + oy) * onx + ox)
+                cval.append(vz & vy & vx & valid)
     n_ocells = onz * ony * onx
     ckeys = jnp.where(jnp.concatenate(cval), jnp.concatenate(cand),
                       n_ocells)
@@ -293,6 +321,41 @@ def downsample_active_set(keys: jax.Array, valid: jax.Array,
     return out_keys, out_keys < n_ocells, odims
 
 
+def strided_rulebook_33(keys: jax.Array, valid: jax.Array,
+                        out_keys: jax.Array, out_valid: jax.Array,
+                        dims: Tuple[int, int, int],
+                        odims: Tuple[int, int, int],
+                        stride: Sequence[int]) -> jax.Array:
+    """3x3x3 strided rulebook via the 9-combo match (see
+    neighbor_indices_33): input x positions for the three dx taps are the
+    consecutive integers ``sx*ox - 1 + {0,1,2}``, so one match per
+    (dz, dy) combo at the center x resolves all three from the sorted
+    structure. Padding fixed at (1,1,1)."""
+    nz, ny, nx = dims
+    n_cells = nz * ny * nx
+    V = keys.shape[0]
+    oz, oy, ox = _decompose(out_keys, odims)
+    xc = ox * stride[2]  # sx*ox - pad + 1; in [0, nx-1] for k3 p1 by
+    # construction of odims
+    qk, qv = [], []
+    for dz in (0, 1, 2):
+        for dy in (0, 1, 2):
+            zz = oz * stride[0] - 1 + dz
+            yy = oy * stride[1] - 1 + dy
+            inb = ((zz >= 0) & (zz < nz) & (yy >= 0) & (yy < ny)
+                   & (xc >= 0) & (xc < nx) & out_valid)
+            qk.append((zz * ny + yy) * nx + xc)
+            qv.append(inb)
+    rm, r0, rp = _match9_xtriple(keys, valid, jnp.concatenate(qk),
+                                 jnp.concatenate(qv), n_cells, 9)
+    rm = jnp.where((xc >= 1)[None, :], rm, V)
+    rp = jnp.where((xc <= nx - 2)[None, :], rp, V)
+    taps = []
+    for c in range(9):
+        taps.extend([rm[c], r0[c], rp[c]])
+    return jnp.stack(taps, axis=-1)
+
+
 def strided_rulebook(keys: jax.Array, valid: jax.Array,
                      out_keys: jax.Array, out_valid: jax.Array,
                      dims: Tuple[int, int, int],
@@ -301,7 +364,11 @@ def strided_rulebook(keys: jax.Array, valid: jax.Array,
                      stride: Sequence[int],
                      padding: Sequence[int]) -> jax.Array:
     """[V_out, K] input row feeding output cell o at tap t:
-    input position ``stride*o - pad + tap`` (V on miss)."""
+    input position ``stride*o - pad + tap`` (V on miss). The 3x3x3
+    kernel with padding (1,1,1) takes the reduced-sort-volume path."""
+    if tuple(kernel) == (3, 3, 3) and tuple(padding) == (1, 1, 1):
+        return strided_rulebook_33(keys, valid, out_keys, out_valid,
+                                   dims, odims, stride)
     nz, ny, nx = dims
     Vo = out_keys.shape[0]
     oz, oy, ox = _decompose(out_keys, odims)

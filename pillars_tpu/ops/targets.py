@@ -33,7 +33,11 @@ from pillars_tpu.geometry import boxes as gb
 
 class TargetAssignment(NamedTuple):
     labels: jax.Array       # [A] int32: -1 don't care, 0 bg, >0 class id
-    bbox_targets: jax.Array  # [A, 7] encoded residuals (0 for non-positive)
+    # [7, A] LANE-MAJOR encoded residuals (0 for non-positive): the anchor
+    # axis on lanes keeps every downstream elementwise pass dense — the
+    # [A, 7] orientation tiles 7 -> 128 lanes (18x traffic at 1.29M
+    # anchors). detection_loss consumes this orientation natively.
+    bbox_targets: jax.Array
     reg_weights: jax.Array  # [A] float32: 1.0 for positives
 
 
@@ -83,7 +87,7 @@ def assign_targets(anchors_standup: jax.Array, anchors: jax.Array,
     matched_t = jnp.matmul(gt_boxes.T, oh.astype(jnp.float32),
                            precision=jax.lax.Precision.HIGHEST)  # [7, A]
     encoded_t = _encode_lane_major(matched_t, anchors.T)
-    bbox_targets = jnp.where(fg[None, :], encoded_t, 0.0).T      # [A, 7]
+    bbox_targets = jnp.where(fg[None, :], encoded_t, 0.0)        # [7, A]
     reg_weights = fg.astype(jnp.float32)
     return TargetAssignment(labels, bbox_targets, reg_weights)
 

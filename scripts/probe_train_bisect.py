@@ -133,6 +133,38 @@ def main():
     timed("forward + backward", grad_step,
           (vox_bank, targets_bank), it, sync)
 
+    # backward attribution: net-only grads (no loss) vs loss-only grads
+    def grad_net_only(carry, v):
+        def f(params):
+            preds, _ = det.network.apply(
+                {"params": params,
+                 "batch_stats": variables["batch_stats"]}, v, True,
+                mutable=["batch_stats"])
+            return (jnp.sum(preds["box_preds"]) + jnp.sum(preds["cls_preds"])
+                    + jnp.sum(preds["dir_cls_preds"]))
+
+        l, grads = jax.value_and_grad(f)(variables["params"])
+        gsum = sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(grads))
+        return carry + l * 0.0 + gsum * 0.0, None
+
+    timed("backward net only (sum preds)", grad_net_only, vox_bank, it, sync)
+
+    pred_bank = jax.jit(jax.vmap(lambda v: det.network.apply(
+        variables, v, False)))(vox_bank)
+
+    def grad_loss_only(carry, op):
+        preds, t = op
+
+        def f(p):
+            return det.loss(p, t.labels, t.bbox_targets).loss
+
+        l, g = jax.value_and_grad(f)(preds)
+        gsum = sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(g))
+        return carry + l + gsum * 0.0, None
+
+    timed("loss fwd+bwd only (wrt preds)", grad_loss_only,
+          (pred_bank, targets_bank), it, sync)
+
     # full fused step, inlined (no nested pjit): clouds -> new params
     import optax
     from pillars_tpu.train.optim import make_optimizer

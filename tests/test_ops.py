@@ -301,8 +301,9 @@ class TestTargetAssigner:
             CFG.model.target.anchor.matched_threshold,
             CFG.model.target.anchor.unmatched_threshold)
         np.testing.assert_array_equal(np.asarray(got.labels), want_labels)
-        np.testing.assert_allclose(np.asarray(got.bbox_targets), want_targets,
-                                   rtol=1e-4, atol=1e-5)
+        # bbox_targets is lane-major [7, A] (TargetAssignment layout)
+        np.testing.assert_allclose(np.asarray(got.bbox_targets).T,
+                                   want_targets, rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(got.reg_weights), want_weights)
 
     def test_random_scenes(self, rng):
