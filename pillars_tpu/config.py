@@ -199,6 +199,12 @@ class PostprocessConfig:
     # run the greedy NMS sweep as one Pallas kernel (TPU backends only;
     # falls back to the lax formulation elsewhere)
     use_pallas_nms: bool = True
+    # optimization barrier between the RPN heads and the postprocess:
+    # stops conv-output layouts leaking into the decode chain (saves
+    # ~0.9 ms at KITTI scale, scripts/probe_fuse.py). None = auto
+    # (enabled for large anchor sets, where relayout traffic dominates;
+    # disabled for small ones, where fusion wins).
+    layout_barrier: Optional[bool] = None
 
 
 @dataclass

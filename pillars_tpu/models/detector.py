@@ -229,6 +229,10 @@ class PillarsDetector:
         anchors = jnp.asarray(self.anchor_set.anchors)
         batch = preds["box_preds"].shape[0]
         C = self.mcfg.num_class
+        barrier = (pp.layout_barrier if pp.layout_barrier is not None
+                   else anchors.shape[0] >= 100_000)
+        if barrier:
+            preds = jax.lax.optimization_barrier(preds)
         # LAYOUT NOTE: the box/dir heads stay in [B, L, T*ch] — ny and nx
         # merge for free (non-minor dims), and the channel dim keeps the
         # conv output's native (possibly lane-padded) layout. Flattening

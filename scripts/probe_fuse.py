@@ -104,6 +104,18 @@ def main():
 
     timed("net+mask+post", net_post, vox_bank, it, sync)
 
+    # same, with an optimization barrier between net and post: tests
+    # whether the conv-output layouts leaking into the postprocess chain
+    # explain the fused-vs-isolated post gap
+    def net_post_barrier(carry, v):
+        amask = det.anchors_mask_batch(v.coords, v.pillar_mask, thr)
+        preds = det.apply(variables, v, train=False)
+        preds = jax.lax.optimization_barrier(preds)
+        out = det.postprocess(preds, amask, eye, eye)
+        return carry + jnp.sum(out.scores), None
+
+    timed("net+mask+post (barrier)", net_post_barrier, vox_bank, it, sync)
+
     # vox alone but reducing ALL outputs (rules out dead-code elimination
     # making the isolated vox number look too good)
     def vox_all(carry, p):

@@ -44,9 +44,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--npts", type=int, default=100000)
+    ap.add_argument("--bf16", action="store_true")
     args = ap.parse_args()
 
     cfg = Config.from_yaml("configs/kitti_second.yaml")
+    if args.bf16:
+        cfg = cfg.override("runtime.compute_dtype", "bfloat16")
     det = PillarsDetector(cfg)
     variables = det.init(jax.random.PRNGKey(0), batch_size=1)
     thr = cfg.eval_input.anchor_area_threshold
