@@ -131,16 +131,22 @@ class RPN(nn.Module):
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
         """x: [B, ny, nx, C] canvas -> head outputs (NHWC)."""
         rcfg = self.cfg.rpn
+        # rpn.remat: recompute each block's activations in backward
+        # (jax.checkpoint) instead of storing them — see RPNConfig.remat
+        Block = (nn.remat(_Block, static_argnums=(2,)) if rcfg.remat
+                 else _Block)
+        Deconv = (nn.remat(_Deconv, static_argnums=(2,)) if rcfg.remat
+                  else _Deconv)
         ups = []
         for i in range(3):
-            x = _Block(rcfg.num_filters[i], rcfg.layer_nums[i],
-                       rcfg.layer_strides[i], rcfg.bn_momentum, rcfg.bn_eps,
-                       separable=rcfg.use_separable_conv,
-                       dtype=self.dtype, name=f"block{i + 1}")(x, train)
+            x = Block(rcfg.num_filters[i], rcfg.layer_nums[i],
+                      rcfg.layer_strides[i], rcfg.bn_momentum, rcfg.bn_eps,
+                      separable=rcfg.use_separable_conv,
+                      dtype=self.dtype, name=f"block{i + 1}")(x, train)
             ups.append(
-                _Deconv(rcfg.num_upsample_filters[i], rcfg.upsample_strides[i],
-                        rcfg.bn_momentum, rcfg.bn_eps, dtype=self.dtype,
-                        name=f"deconv{i + 1}")(x, train))
+                Deconv(rcfg.num_upsample_filters[i], rcfg.upsample_strides[i],
+                       rcfg.bn_momentum, rcfg.bn_eps, dtype=self.dtype,
+                       name=f"deconv{i + 1}")(x, train))
         x = jnp.concatenate(ups, axis=-1)  # [B, ny, nx, 384]
 
         n_anchor = self.cfg.num_anchors_per_loc

@@ -27,11 +27,14 @@ def main():
     ap.add_argument("--npts", type=int, default=100000)
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--remat", action="store_true")
     args = ap.parse_args()
 
     cfg = Config.from_yaml("configs/kitti_3class.yaml")
     if args.bf16:
         cfg = cfg.override("runtime.compute_dtype", "bfloat16")
+    if args.remat:
+        cfg = cfg.override("model.rpn.remat", True)
     det = PillarsDetector(cfg)
     B = args.batch
     state, tx = create_train_state(det, jax.random.PRNGKey(0), B)

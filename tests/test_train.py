@@ -197,3 +197,55 @@ class TestMailbox:
         assert got == sorted(got)          # monotonically newer
         assert got[-1] == 199              # last frame always delivered
         assert len(got) + skipped_total == 200
+
+
+class TestRemat:
+    """rpn.remat (jax.checkpoint on the conv blocks) must not change the
+    math — only the backward memory/compute schedule."""
+
+    def test_grads_match_no_remat(self, rng):
+        """Compared in float64: f32 comparisons are swamped by the
+        accumulation-order noise remat's re-scheduling introduces (worst
+        leaf measured 2% of tensor scale in f32, 2e-14 in f64)."""
+        import jax
+        import jax.numpy as jnp
+        from pillars_tpu.config import Config
+        from pillars_tpu.models.detector import PillarsDetector
+
+        with jax.enable_x64():
+            cfg = Config.default()
+            cfg = cfg.override("model.voxel.max_points", 2048)
+            cfg_r = cfg.override("model.rpn.remat", True)
+            det = PillarsDetector(cfg)
+            det_r = PillarsDetector(cfg_r)
+            variables = det.init(jax.random.PRNGKey(0), batch_size=1)
+            as64 = lambda t: jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.float64)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, t)
+            variables = as64(variables)
+            n = 300
+            pts = np.zeros((1, 2048, 3), np.float64)
+            pts[0, :n, 0] = rng.uniform(0, 6.4, n)
+            pts[0, :n, 1] = rng.uniform(-2.5, 2.5, n)
+            pts[0, :n, 2] = rng.uniform(-2.9, 0.5, n)
+            vox = as64(det.voxelize_batch(jnp.asarray(pts),
+                                          jnp.asarray([n], jnp.int32)))
+
+            def loss(d):
+                def f(p):
+                    preds, _ = d.network.apply(
+                        {"params": p,
+                         "batch_stats": variables["batch_stats"]},
+                        vox, True, mutable=["batch_stats"])
+                    return jnp.sum(preds["box_preds"] ** 2)
+                return jax.grad(f)(variables["params"])
+
+            g1 = loss(det)
+            g2 = loss(det_r)
+            for (p1, a), (p2, b) in zip(
+                    jax.tree_util.tree_leaves_with_path(g1),
+                    jax.tree_util.tree_leaves_with_path(g2)):
+                assert p1 == p2
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-10, atol=1e-10,
+                                           err_msg=str(p1))
