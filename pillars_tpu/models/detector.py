@@ -67,7 +67,11 @@ class _Network(nn.Module):
         pillar_mask = voxelized.pillar_mask
         b, p = pillar_mask.shape
         flat = lambda a: a.reshape((b * a.shape[1],) + a.shape[2:])
-        if self.cfg.pfn.simple_mean:
+        if self.cfg.pfn.simple_mean and hasattr(voxelized, "voxel_mean"):
+            # SECOND SimpleVoxel from the point-major voxelizer: per-voxel
+            # means computed scan-wise, no [P, N, D] tensor materialized
+            pillar_feats = flat(voxelized.voxel_mean)
+        elif self.cfg.pfn.simple_mean:
             # SECOND SimpleVoxel: per-voxel mean of raw point features
             # (second.pytorch voxel_encoder.SimpleVoxel) — padded slots are
             # zero, so sum / clamped count is the mean over real points

@@ -68,7 +68,7 @@ class PointwisePFN(nn.Module):
         kept = point_kept
         pid = point_pillar
 
-        pt_mean = point_mean
+        pt_mean = point_mean[:, :3]  # xyz cluster mean (cols 3+: SECOND)
         cx = point_zyx[:, 2].astype(points.dtype) * vx + x_offset
         cy = point_zyx[:, 1].astype(points.dtype) * vy + y_offset
 

@@ -66,12 +66,16 @@ class VoxelizedPoints(NamedTuple):
     point_kept:   [MAXPTS] bool; False for out-of-range / padding / beyond
                   max_points_per_voxel points (they carry a valid pillar id
                   but must not contribute)
-    point_mean:   [MAXPTS, 3] xyz mean over the point's pillar's KEPT points
-                  (the PFN cluster-offset feature, reference
-                  pointpillars.py:143-149) — computed here with segmented
-                  prefix/suffix scans because a per-point gather of a
-                  per-pillar mean is row-latency-bound on TPU (~13 ns/row
-                  at 131k rows)
+    point_mean:   [MAXPTS, D] per-feature mean over the point's pillar's
+                  KEPT points (cols 0-2: the PFN cluster-offset feature,
+                  reference pointpillars.py:143-149; remaining cols, e.g.
+                  intensity, serve SECOND's SimpleVoxel encoder) —
+                  computed here with segmented prefix/suffix scans because
+                  a per-point gather of a per-pillar mean is
+                  row-latency-bound on TPU (~13 ns/row at 131k rows)
+    voxel_mean:   [P, D] per-PILLAR feature means (point_mean compacted to
+                  one row per pillar; zeros on padding) — SECOND's
+                  SimpleVoxel features without materializing [P, N, D]
     point_zyx:    [MAXPTS, 3] int32 per-point grid cell (z, y, x) — the
                   pillar-center offset source, gather-free
     num_points:   [P] int32 per-pillar counts (capped at N)
@@ -87,6 +91,7 @@ class VoxelizedPoints(NamedTuple):
     num_points: jax.Array
     coords: jax.Array
     pillar_mask: jax.Array
+    voxel_mean: jax.Array
 
 
 def voxelize(points: jax.Array, num_valid: jax.Array, *,
@@ -131,15 +136,21 @@ def voxelize(points: jax.Array, num_valid: jax.Array, *,
     rank = idx - seg_start
 
     if n_cells > P:
-        # arrival-order pillar cap (see voxelize_points for the rationale)
-        first_pos = order[seg_start]
+        # arrival-order pillar cap + overflow point-stream cutoff: the
+        # reference kernel BREAKS its point loop when a point would create
+        # pillar P+1 (load_data.py:630-637), so every point at or after
+        # that position is dropped — see voxelize_points for the
+        # order-statistics formulation
+        first_pos = _seg_fill(order, is_start)
         start_key = jnp.where(is_start & valid_s, first_pos, maxpts)
-        order_by_arrival = jnp.argsort(start_key)
-        arrival_rank = jnp.zeros((maxpts,), jnp.int32).at[
-            order_by_arrival].set(jnp.arange(maxpts, dtype=jnp.int32))
-        seg_keep = arrival_rank[seg_start] < P
+        heads_sorted = jnp.sort(start_key)
+        thr = heads_sorted[P - 1] if P <= maxpts else maxpts
+        cutoff = (heads_sorted[P] if P < maxpts
+                  else jnp.asarray(maxpts, jnp.int32))
+        seg_keep = (first_pos <= thr) & (order < cutoff)
         pillar_id = jnp.clip(
-            jnp.cumsum((is_start & seg_keep).astype(jnp.int32)) - 1, 0, P)
+            jnp.cumsum((is_start & (first_pos <= thr)).astype(
+                jnp.int32)) - 1, 0, P)
     else:
         seg_keep = jnp.ones((maxpts,), dtype=bool)
 
@@ -233,25 +244,28 @@ def voxelize_points(points: jax.Array, num_valid: jax.Array, *,
     rank = idx - seg_start
 
     if n_cells > P:
-        # The grid can produce more distinct cells than max_voxels: the
-        # reference keeps the FIRST max_voxels pillars in ARRIVAL order
-        # (load_data.py:630-637), then we re-compact ids over the kept
-        # subset IN CELL ORDER so downstream scatters stay sorted. A pillar
-        # survives iff the original position of its FIRST point is among the
-        # P smallest such positions. All vector work — no gathers/scatters
-        # (an earlier argsort+scatter+gather formulation cost ~3 ms at 131k
-        # rows on TPU; each 131k-row narrow gather/scatter is
-        # row-latency-bound at ~13 ns/row). Compiled only for large-grid
-        # configs — unreachable with the shipped d435i config (10240
-        # possible cells < 12000 max_voxels).
+        # The grid can produce more distinct cells than max_voxels. The
+        # reference kernel BREAKS out of its point loop the moment a point
+        # would create pillar P+1 (load_data.py:630-637): the first P
+        # pillars in ARRIVAL order survive, and every point at or after
+        # the overflow position is dropped entirely — including points of
+        # already-created pillars. Replicated here with two order
+        # statistics of the segment-head positions: thr = P-th smallest
+        # (pillar survives iff its head <= thr), cutoff = (P+1)-th
+        # smallest (the overflow point's position; all later points drop).
+        # We then re-compact ids over the kept subset IN CELL ORDER so
+        # downstream scatters stay sorted. All vector work — no
+        # gathers/scatters. Compiled only for large-grid configs —
+        # unreachable with the shipped d435i config (10240 possible cells
+        # < 12000 max_voxels).
         first_pos = _seg_fill(order, is_start)  # segment head's original idx
         start_key = jnp.where(is_start & valid_s, first_pos, maxpts)
-        # threshold = P-th smallest head position (positions are unique);
-        # with fewer than P real segments the threshold is the sentinel and
-        # every segment survives
-        thr = jnp.sort(start_key)[P - 1] if P <= maxpts else maxpts
-        seg_keep = first_pos <= thr
-        new_pid = jnp.cumsum((is_start & seg_keep).astype(jnp.int32)) - 1
+        heads_sorted = jnp.sort(start_key)
+        thr = heads_sorted[P - 1] if P <= maxpts else maxpts
+        cutoff = heads_sorted[P] if P < maxpts else jnp.int32(maxpts)
+        seg_keep = (first_pos <= thr) & (order < cutoff)
+        new_pid = jnp.cumsum((is_start & (first_pos <= thr)).astype(
+            jnp.int32)) - 1
         pillar_id = jnp.clip(new_pid, 0, P)
     else:
         seg_keep = jnp.ones((maxpts,), dtype=bool)
@@ -270,19 +284,21 @@ def voxelize_points(points: jax.Array, num_valid: jax.Array, *,
     # (associative scans with reset flags) — no scatters, no gathers, and
     # exactly per-segment f32 precision (the running sum never crosses a
     # segment boundary). Replaces the PFN's scatter-add + gather pair.
-    nxt_candidate = jnp.concatenate(
-        [jnp.where(is_start[1:], idx[1:], maxpts),
-         jnp.full((1,), maxpts, jnp.int32)])
-    seg_end = jax.lax.cummin(nxt_candidate, reverse=True)
-    seg_len = jnp.minimum(seg_end - seg_start, N)
     is_end = jnp.concatenate([is_start[1:], jnp.ones((1,), bool)])
-    # accumulate relative to the point's CELL center (identical for every
-    # point of a segment): cuts the f32 rounding of the segmented sum by
-    # ~100x, keeping the scan mean within float noise of a per-pillar
-    # sequential sum
+    # accumulate xyz relative to the point's CELL center (identical for
+    # every point of a segment): cuts the f32 rounding of the segmented
+    # sum by ~100x, keeping the scan mean within float noise of a
+    # per-pillar sequential sum. Extra feature columns (intensity, ...)
+    # accumulate raw — they feed SECOND's SimpleVoxel means. A final
+    # keep-count column gives the per-segment KEPT-point count (the mean
+    # denominator and num_points must exclude rank-capped AND
+    # overflow-cutoff points, so a positional segment length is wrong).
     cell_center = (jnp.stack([x, y, z], axis=-1).astype(points.dtype) + 0.5
                    ) * vs[:3] + pcr[:3]
-    vals = jnp.where(keep[:, None], points_s[:, :3] - cell_center, 0)
+    centered = jnp.concatenate(
+        [points_s[:, :3] - cell_center, points_s[:, 3:],
+         jnp.ones((maxpts, 1), points.dtype)], axis=-1)
+    vals = jnp.where(keep[:, None], centered, 0)
 
     def seg_sum_op(a, c_):
         av, af = a
@@ -302,21 +318,30 @@ def voxelize_points(points: jax.Array, num_valid: jax.Array, *,
     end_rev = jnp.broadcast_to(jnp.flip(is_end, axis=0)[:, None],
                                prefix.shape)
     total = jnp.flip(_seg_fill(jnp.flip(prefix, axis=0), end_rev), axis=0)
-    denom = jnp.maximum(seg_len, 1).astype(points.dtype)[:, None]
-    point_mean = total / denom + cell_center
+    kept_count = total[:, dim]  # per-segment kept points (float)
+    denom = jnp.maximum(kept_count, 1.0)[:, None]
+    point_mean = total[:, :dim] / denom
+    point_mean = point_mean.at[:, :3].add(cell_center)
 
+    head = is_start & valid_s & seg_keep
     if n_cells > P:
-        # Per-pillar count/coords WITHOUT scatters: each segment's length
-        # falls out of the sorted layout (seg_len above), then one
-        # compaction sort keyed by pillar id moves segment-start rows to the
-        # front — row p of the sorted payload IS pillar p.
-        head = is_start & valid_s & seg_keep
+        # Per-pillar count/coords/means WITHOUT scatters: the kept-point
+        # count falls out of the scan's count column, then one compaction
+        # sort keyed by pillar id moves segment-start rows to the front —
+        # row p of the sorted payload IS pillar p. The mean columns ride
+        # the same sort (multi-operand, no gathers).
         ckey = jnp.where(head, pillar_id, maxpts + 1)
-        _, c_len, c_z, c_y, c_x = jax.lax.sort(
-            (ckey, seg_len, zyx[:, 0], zyx[:, 1], zyx[:, 2]), num_keys=1)
+        sorted_ops = jax.lax.sort(
+            (ckey, kept_count.astype(jnp.int32),
+             zyx[:, 0], zyx[:, 1], zyx[:, 2])
+            + tuple(point_mean[:, d] for d in range(dim)), num_keys=1)
+        c_len, c_z, c_y, c_x = sorted_ops[1:5]
         num_points = jnp.where(jnp.arange(P) < jnp.sum(head), c_len[:P], 0)
-        coords = jnp.where((num_points > 0)[:, None],
+        real = (num_points > 0)[:, None]
+        coords = jnp.where(real,
                            jnp.stack([c_z[:P], c_y[:P], c_x[:P]], axis=-1), 0)
+        voxel_mean = jnp.where(
+            real, jnp.stack([m[:P] for m in sorted_ops[5:]], axis=-1), 0)
     else:
         num_points = jnp.zeros((P,), dtype=jnp.int32)
         num_points = num_points.at[point_pillar].add(
@@ -328,9 +353,14 @@ def voxelize_points(points: jax.Array, num_valid: jax.Array, *,
         coords = coords.at[point_pillar].max(
             jnp.where((valid_s & seg_keep)[:, None], zyx, 0), mode="drop",
             indices_are_sorted=True)
+        # segment heads carry the pillar mean; unique + sorted scatter-set
+        voxel_mean = jnp.zeros((P, dim), dtype=points.dtype)
+        voxel_mean = voxel_mean.at[jnp.where(head, pillar_id, P)].set(
+            point_mean, mode="drop", indices_are_sorted=True,
+            unique_indices=True)
 
     return VoxelizedPoints(points_s, point_pillar, keep, point_mean, zyx,
-                           num_points, coords, num_points > 0)
+                           num_points, coords, num_points > 0, voxel_mean)
 
 
 class CellVoxelized(NamedTuple):

@@ -393,3 +393,117 @@ class TestStructuredSATMask:
                         jnp.asarray(dense)))
             np.testing.assert_array_equal(got, want)
             assert want.any()  # non-degenerate scene
+
+
+class TestVoxelMean:
+    """voxelize_points.voxel_mean (SECOND SimpleVoxel features) vs a NumPy
+    per-voxel mean of the kept points, on both compaction branches."""
+
+    def _check(self, rng, vc, n):
+        from pillars_tpu.config import VoxelConfig
+        from pillars_tpu.ops.voxelize import make_point_voxelizer, voxelize_np
+
+        maxpts = 2048
+        pcr = vc.point_cloud_range
+        pts = np.zeros((maxpts, 4), np.float32)
+        pts[:n, 0] = rng.uniform(pcr[0], pcr[3], n)
+        pts[:n, 1] = rng.uniform(pcr[1], pcr[4], n)
+        pts[:n, 2] = rng.uniform(pcr[2], pcr[5], n)
+        pts[:n, 3] = rng.uniform(0, 1, n)
+        out = jax.jit(make_point_voxelizer(vc))(jnp.asarray(pts),
+                                                jnp.int32(n))
+        ref_vox, ref_coors, ref_num = voxelize_np(
+            pts[:n], vc.voxel_size, vc.point_cloud_range,
+            vc.max_points_per_voxel, vc.max_voxels)
+        ref_mean = (ref_vox.sum(axis=1)
+                    / np.maximum(ref_num, 1)[:, None].astype(np.float32))
+
+        mask = np.asarray(out.pillar_mask)
+        got_coords = np.asarray(out.coords)[mask]
+        got_mean = np.asarray(out.voxel_mean)[mask]
+        # the jitted voxelizer orders pillars by cell id; align on (z,y,x)
+        key = lambda c: (c[:, 0] * 10**8 + c[:, 1] * 10**4 + c[:, 2])
+        got_order = np.argsort(key(got_coords))
+        ref_order = np.argsort(key(ref_coors))
+        assert mask.sum() == len(ref_coors)
+        np.testing.assert_array_equal(got_coords[got_order],
+                                      ref_coors[ref_order])
+        np.testing.assert_allclose(got_mean[got_order], ref_mean[ref_order],
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_small_grid_branch(self, rng):
+        from pillars_tpu.config import VoxelConfig
+
+        vc = VoxelConfig(max_voxels=12000, max_points=2048)  # cells < P
+        self._check(rng, vc, 1500)
+
+    def test_large_grid_branch(self, rng):
+        from pillars_tpu.config import VoxelConfig
+
+        # fine voxels -> cells >> max_voxels: the compaction-sort branch
+        vc = VoxelConfig(voxel_size=(0.02, 0.02, 0.5), max_voxels=256,
+                         max_points=2048)
+        self._check(rng, vc, 400)
+
+
+class TestOverflowCutoff:
+    """Reference load_data.py:630-637: the kernel BREAKS the point loop
+    when a point would create pillar P+1, dropping every later point —
+    even those of existing pillars. Crafted scene: pillar A gets a second
+    point only AFTER the overflow point; both voxelizers must drop it."""
+
+    def _pts(self):
+        # cells: A=(0.01), B=(1.01), C=(2.01) with max_voxels=2
+        # order: A, B, (C -> overflow, break), A-again (must be dropped)
+        pts = np.array([
+            [0.01, 0.0, 0.0, 0.5],
+            [1.01, 0.0, 0.0, 0.5],
+            [2.01, 0.0, 0.0, 0.5],   # creates pillar 3 -> break
+            [0.02, 0.0, 0.0, 0.9],   # after break: dropped by reference
+        ], np.float32)
+        padded = np.zeros((16, 4), np.float32)
+        padded[:4] = pts
+        return padded
+
+    def _vc(self):
+        from pillars_tpu.config import VoxelConfig
+
+        return VoxelConfig(point_cloud_range=(0, -1, -1, 8, 1, 1),
+                           voxel_size=(1.0, 2.0, 2.0), max_voxels=2,
+                           max_points=16, max_points_per_voxel=4)
+
+    def test_oracle_agrees(self):
+        from pillars_tpu.ops.voxelize import voxelize_np
+
+        vc = self._vc()
+        vox, coors, num = voxelize_np(self._pts()[:4], vc.voxel_size,
+                                      vc.point_cloud_range,
+                                      vc.max_points_per_voxel, vc.max_voxels)
+        assert len(coors) == 2
+        np.testing.assert_array_equal(num, [1, 1])  # A's 2nd point dropped
+
+    def test_point_voxelizer(self):
+        from pillars_tpu.ops.voxelize import make_point_voxelizer
+
+        vc = self._vc()
+        out = jax.jit(make_point_voxelizer(vc))(jnp.asarray(self._pts()),
+                                                jnp.int32(4))
+        mask = np.asarray(out.pillar_mask)
+        assert mask.sum() == 2
+        np.testing.assert_array_equal(np.asarray(out.num_points)[mask],
+                                      [1, 1])
+        # the dropped 4th point must not contaminate the mean either
+        np.testing.assert_allclose(
+            np.asarray(out.voxel_mean)[mask][0],
+            [0.01, 0.0, 0.0, 0.5], atol=1e-6)
+
+    def test_dense_voxelizer(self):
+        from pillars_tpu.ops.voxelize import make_voxelizer
+
+        vc = self._vc()
+        out = jax.jit(make_voxelizer(vc))(jnp.asarray(self._pts()),
+                                          jnp.int32(4))
+        mask = np.asarray(out.pillar_mask)
+        assert mask.sum() == 2
+        np.testing.assert_array_equal(np.asarray(out.num_points)[mask],
+                                      [1, 1])

@@ -369,10 +369,16 @@ class TestSparseMiddleExtractor:
         assert np.isfinite(float(metrics.loss))
         assert int(state2.step) == 1
 
-    def test_detector_forward(self, rng):
+    @pytest.mark.parametrize("pointwise", [False, True])
+    def test_detector_forward(self, rng, pointwise):
         from pillars_tpu.models.detector import PillarsDetector
 
         cfg = self._cfg()
+        if pointwise:
+            # the kitti_second path: point-major voxelizer + scan-wise
+            # SimpleVoxel means (voxel_mean), no [P, N, D] tensor
+            cfg = cfg.override("model.pfn.pointwise", True)
+            cfg = cfg.override("model.pfn.simple_mean", True)
         det = PillarsDetector(cfg)
         variables = det.init(jax.random.PRNGKey(0), batch_size=1)
         n = 100
