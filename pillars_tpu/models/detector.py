@@ -204,6 +204,9 @@ class PillarsDetector:
     # ------------------------------------------------------------------
     def loss(self, preds: Dict[str, jax.Array], labels, reg_targets
              ) -> LossOutput:
+        # NOTE: an optimization_barrier on preds (like postprocess uses)
+        # was measured NEUTRAL in-graph and harmful from repacked banks —
+        # deliberately not applied here (probe_train_bisect4).
         return detection_loss(
             self.mcfg.loss, self.mcfg.num_class,
             preds["box_preds"], preds["cls_preds"],
