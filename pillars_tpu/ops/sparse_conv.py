@@ -402,13 +402,11 @@ def gather_conv(features: jax.Array, nbr: jax.Array,
     K = nbr.shape[1]
     ext = jnp.concatenate(
         [features, jnp.zeros((1, cin), features.dtype)], axis=0)
-    out = None
-    for k in range(K):
-        if k == center_tap:
-            g = features
-        else:
-            g = jnp.take(ext, nbr[:, k], axis=0,
-                         indices_are_sorted=False, fill_value=None)
-        contrib = g @ weights[k]
-        out = contrib if out is None else out + contrib
-    return out
+    # ONE fused gather (tap-major index vector) + a batched einsum beats
+    # K separate gather+matmul pairs 1.8x at SECOND scale (V=20k, C=64:
+    # 0.98 vs 1.78 ms/layer, scripts/probe_gather_conv.py) — fewer op
+    # launches, and the contraction runs as one MXU batch. center_tap is
+    # kept for API compatibility; the fused form gathers it like any tap.
+    del center_tap
+    g = jnp.take(ext, nbr.T.reshape(-1), axis=0).reshape(K, -1, cin)
+    return jnp.einsum("kvc,kcd->vd", g, weights)
