@@ -55,7 +55,40 @@ NO_DETECTION = -10000000
 
 def get_thresholds(scores: np.ndarray, num_gt: int,
                    num_sample_pts: int = N_SAMPLE_PTS) -> List[float]:
-    """reference eval.py:19-38."""
+    """reference eval.py:19-38, closed-form.
+
+    The reference walks every sorted score; but its skip condition depends
+    only on the index i, never the score value: skip while
+    (i+2)/num_gt - c < c - (i+1)/num_gt  ~  i + 1.5 < c * num_gt, where c
+    is the running recall target. So each selected index is near
+    ceil(c*num_gt - 1.5); jump there, then settle with the reference's
+    EXACT float comparison (the algebraic form rounds differently) so the
+    result is bit-identical to `_get_thresholds_loop`, in O(41) not O(n).
+    """
+    scores = np.sort(scores)[::-1]
+    n = len(scores)
+    thresholds = []
+    current_recall = 0.0
+    i = 0
+    step = 1 / (num_sample_pts - 1.0)
+    while i < n:
+        # jump 2 below the algebraic first-non-skipped index (FP safety
+        # margin), then scan with the exact reference predicate; the last
+        # index never skips (reference disables the skip at i == n-1)
+        j = int(np.ceil(current_recall * num_gt - 1.5)) - 2
+        i = min(max(i, j), n - 1)
+        while (i < n - 1 and ((i + 2) / num_gt - current_recall)
+               < (current_recall - (i + 1) / num_gt)):
+            i += 1
+        thresholds.append(scores[i])
+        current_recall += step
+        i += 1
+    return thresholds
+
+
+def _get_thresholds_loop(scores: np.ndarray, num_gt: int,
+                         num_sample_pts: int = N_SAMPLE_PTS) -> List[float]:
+    """Line-faithful twin of reference eval.py:19-38 (test oracle)."""
     scores = np.sort(scores)[::-1]
     current_recall = 0.0
     thresholds = []
@@ -70,47 +103,41 @@ def get_thresholds(scores: np.ndarray, num_gt: int,
     return thresholds
 
 
-def clean_data(gt_anno, dt_anno, current_class: int, difficulty: int):
-    """reference eval.py:40-94."""
-    dc_bboxes, ignored_gt, ignored_dt = [], [], []
+def clean_data(gt_anno, dt_anno, current_class: int, difficulty: int,
+               gt_names=None, dt_names=None):
+    """reference eval.py:40-94, vectorized (same branch precedence: exact
+    class match -> 1; pedestrian/person_sitting and car/van neighbor -> 0;
+    else -1; difficulty gates by occlusion/truncation/pixel height).
+
+    gt_names/dt_names: optional pre-lowered name arrays (eval_class computes
+    them once per run instead of 6x per anno here)."""
     current_cls_name = CLASS_NAMES[current_class].lower()
-    num_gt = len(gt_anno["name"])
-    num_dt = len(dt_anno["name"])
-    num_valid_gt = 0
-    for i in range(num_gt):
-        bbox = gt_anno["bbox"][i]
-        gt_name = gt_anno["name"][i].lower()
-        height = bbox[3] - bbox[1]
-        if gt_name == current_cls_name:
-            valid_class = 1
-        elif current_cls_name == "pedestrian" and gt_name == "person_sitting":
-            valid_class = 0
-        elif current_cls_name == "car" and gt_name == "van":
-            valid_class = 0
-        else:
-            valid_class = -1
-        ignore = bool(
-            gt_anno["occluded"][i] > MAX_OCCLUSION[difficulty]
-            or gt_anno["truncated"][i] > MAX_TRUNCATION[difficulty]
-            or height <= MIN_HEIGHT[difficulty])
-        if valid_class == 1 and not ignore:
-            ignored_gt.append(0)
-            num_valid_gt += 1
-        elif valid_class == 0 or (ignore and valid_class == 1):
-            ignored_gt.append(1)
-        else:
-            ignored_gt.append(-1)
-        if gt_anno["name"][i] == "DontCare":
-            dc_bboxes.append(gt_anno["bbox"][i])
-    for i in range(num_dt):
-        valid_class = 1 if dt_anno["name"][i].lower() == current_cls_name else -1
-        height = abs(dt_anno["bbox"][i, 3] - dt_anno["bbox"][i, 1])
-        if height < MIN_HEIGHT[difficulty]:
-            ignored_dt.append(1)
-        elif valid_class == 1:
-            ignored_dt.append(0)
-        else:
-            ignored_dt.append(-1)
+    if gt_names is None:
+        gt_names = np.char.lower(np.asarray(gt_anno["name"], dtype=str))
+    valid_class = np.full(gt_names.shape[0], -1, dtype=np.int64)
+    if current_cls_name == "pedestrian":
+        valid_class[gt_names == "person_sitting"] = 0
+    elif current_cls_name == "car":
+        valid_class[gt_names == "van"] = 0
+    valid_class[gt_names == current_cls_name] = 1
+    height = gt_anno["bbox"][:, 3] - gt_anno["bbox"][:, 1]
+    ignore = ((np.asarray(gt_anno["occluded"]) > MAX_OCCLUSION[difficulty])
+              | (np.asarray(gt_anno["truncated"])
+                 > MAX_TRUNCATION[difficulty])
+              | (height <= MIN_HEIGHT[difficulty]))
+    ignored_gt = np.where(
+        (valid_class == 1) & ~ignore, 0,
+        np.where((valid_class == 0) | (ignore & (valid_class == 1)), 1, -1))
+    num_valid_gt = int((ignored_gt == 0).sum())
+    dc_bboxes = list(gt_anno["bbox"][
+        np.asarray(gt_anno["name"], dtype=str) == "DontCare"])
+
+    if dt_names is None:
+        dt_names = np.char.lower(np.asarray(dt_anno["name"], dtype=str))
+    dt_height = np.abs(dt_anno["bbox"][:, 3] - dt_anno["bbox"][:, 1])
+    ignored_dt = np.where(
+        dt_height < MIN_HEIGHT[difficulty], 1,
+        np.where(dt_names == current_cls_name, 0, -1)).astype(np.int64)
     return num_valid_gt, ignored_gt, ignored_dt, dc_bboxes
 
 
@@ -154,6 +181,35 @@ def d3_box_overlap(boxes, qboxes, criterion=-1):
     reference eval.py:132-163 (d3_box_overlap + kernel). boxes [N, 7] camera
     (x, y, z, l, h, w, ry); BEV uses (x, z, l, w, ry); the y axis points
     DOWN, the location is the box bottom."""
+    rinc = _rotated_overlap(boxes[:, [0, 2, 3, 5, 6]],
+                            qboxes[:, [0, 2, 3, 5, 6]], 2)
+    rinc = rinc.astype(np.float64)
+    # Height intersection, fully vectorized (the reference runs this as a
+    # numba prange double loop, eval.py:132-156; semantics identical).
+    iw = (np.minimum(boxes[:, None, 1], qboxes[None, :, 1])
+          - np.maximum(boxes[:, None, 1] - boxes[:, None, 4],
+                       qboxes[None, :, 1] - qboxes[None, :, 4]))
+    inc = iw * rinc
+    if criterion == -1:
+        area1 = (boxes[:, 3] * boxes[:, 4] * boxes[:, 5])[:, None]
+        area2 = (qboxes[:, 3] * qboxes[:, 4] * qboxes[:, 5])[None, :]
+        ua = area1 + area2 - inc
+    elif criterion == 0:
+        ua = np.broadcast_to(
+            (boxes[:, 3] * boxes[:, 4] * boxes[:, 5])[:, None], rinc.shape)
+    elif criterion == 1:
+        ua = np.broadcast_to(
+            (qboxes[:, 3] * qboxes[:, 4] * qboxes[:, 5])[None, :], rinc.shape)
+    else:
+        ua = np.ones_like(rinc)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        iou = inc / ua
+    return np.where(rinc > 0, np.where(iw > 0, iou, 0.0), rinc)
+
+
+def _d3_box_overlap_loop(boxes, qboxes, criterion=-1):
+    """Loop-for-loop twin of the reference numba kernel (eval.py:132-156),
+    kept as the oracle for tests/test_eval_ap.py."""
     rinc = _rotated_overlap(boxes[:, [0, 2, 3, 5, 6]],
                             qboxes[:, [0, 2, 3, 5, 6]], 2)
     n, k = boxes.shape[0], qboxes.shape[0]
@@ -275,7 +331,8 @@ def compute_statistics(overlaps, gt_datas, dt_datas, ignored_gt, ignored_det,
     return tp, fp, fn, similarity, thresholds[:thresh_idx]
 
 
-def _prepare_data(gt_annos, dt_annos, current_class, difficulty):
+def _prepare_data(gt_annos, dt_annos, current_class, difficulty,
+                  name_cache=None):
     """reference eval.py:425-453."""
     gt_datas_list, dt_datas_list = [], []
     ignored_gts, ignored_dets, dontcares = [], [], []
@@ -283,7 +340,9 @@ def _prepare_data(gt_annos, dt_annos, current_class, difficulty):
     total_num_valid_gt = 0
     for i in range(len(gt_annos)):
         num_valid_gt, ignored_gt, ignored_det, dc_bboxes = clean_data(
-            gt_annos[i], dt_annos[i], current_class, difficulty)
+            gt_annos[i], dt_annos[i], current_class, difficulty,
+            gt_names=name_cache[0][i] if name_cache else None,
+            dt_names=name_cache[1][i] if name_cache else None)
         ignored_gts.append(np.array(ignored_gt, dtype=np.int64))
         ignored_dets.append(np.array(ignored_det, dtype=np.int64))
         if len(dc_bboxes) == 0:
@@ -336,6 +395,10 @@ def eval_class(gt_annos, dt_annos, current_classes, difficultys, metric,
     """reference eval_class_v3 (eval.py:552-659)."""
     assert len(gt_annos) == len(dt_annos)
     overlaps = calculate_iou(gt_annos, dt_annos, metric)
+    ov_flat = native.flatten_overlaps(overlaps) if native.available() else None
+    name_cache = (
+        [np.char.lower(np.asarray(a["name"], dtype=str)) for a in gt_annos],
+        [np.char.lower(np.asarray(a["name"], dtype=str)) for a in dt_annos])
     num_minoverlap = len(min_overlaps)
     num_class = len(current_classes)
     num_difficulty = len(difficultys)
@@ -347,31 +410,44 @@ def eval_class(gt_annos, dt_annos, current_classes, difficultys, metric,
         for l, difficulty in enumerate(difficultys):
             (gt_datas, dt_datas, ignored_gts, ignored_dets, dontcares,
              total_dc_num, total_num_valid_gt) = _prepare_data(
-                gt_annos, dt_annos, current_class, difficulty)
+                gt_annos, dt_annos, current_class, difficulty,
+                name_cache=name_cache)
+            frames = (native.EvalFrames(overlaps, gt_datas, dt_datas,
+                                        ignored_gts, ignored_dets, dontcares,
+                                        ov_flat=ov_flat)
+                      if ov_flat is not None else None)
             for k, min_overlap in enumerate(min_overlaps[:, metric, m]):
-                thresholdss = []
-                for i in range(len(gt_annos)):
-                    _, _, _, _, th = compute_statistics(
-                        overlaps[i], gt_datas[i], dt_datas[i],
-                        ignored_gts[i], ignored_dets[i], dontcares[i],
-                        metric, min_overlap=min_overlap, thresh=0.0,
-                        compute_fp=False)
-                    thresholdss += th.tolist()
-                thresholds = np.array(
-                    get_thresholds(np.array(thresholdss), total_num_valid_gt))
-                pr = np.zeros([len(thresholds), 4])
-                for i in range(len(gt_annos)):
-                    for t, thresh in enumerate(thresholds):
-                        tp, fp, fn, sim, _ = compute_statistics(
+                if frames is not None:
+                    thresholdss = frames.match_scores(metric, min_overlap)
+                else:
+                    thresholdss = []
+                    for i in range(len(gt_annos)):
+                        _, _, _, _, th = compute_statistics(
                             overlaps[i], gt_datas[i], dt_datas[i],
                             ignored_gts[i], ignored_dets[i], dontcares[i],
-                            metric, min_overlap=min_overlap, thresh=thresh,
-                            compute_fp=True, compute_aos=compute_aos)
-                        pr[t, 0] += tp
-                        pr[t, 1] += fp
-                        pr[t, 2] += fn
-                        if sim != -1:
-                            pr[t, 3] += sim
+                            metric, min_overlap=min_overlap, thresh=0.0,
+                            compute_fp=False)
+                        thresholdss += th.tolist()
+                thresholds = np.array(
+                    get_thresholds(np.array(thresholdss), total_num_valid_gt))
+                if frames is not None:
+                    pr = frames.fused_statistics(metric, min_overlap,
+                                                 thresholds, compute_aos)
+                else:
+                    pr = np.zeros([len(thresholds), 4])
+                    for i in range(len(gt_annos)):
+                        for t, thresh in enumerate(thresholds):
+                            tp, fp, fn, sim, _ = compute_statistics(
+                                overlaps[i], gt_datas[i], dt_datas[i],
+                                ignored_gts[i], ignored_dets[i], dontcares[i],
+                                metric, min_overlap=min_overlap,
+                                thresh=thresh, compute_fp=True,
+                                compute_aos=compute_aos)
+                            pr[t, 0] += tp
+                            pr[t, 1] += fp
+                            pr[t, 2] += fn
+                            if sim != -1:
+                                pr[t, 3] += sim
                 for i in range(len(thresholds)):
                     recall[m, l, k, i] = pr[i, 0] / (pr[i, 0] + pr[i, 2])
                     precision[m, l, k, i] = pr[i, 0] / (pr[i, 0] + pr[i, 1])

@@ -174,3 +174,88 @@ class TestDifficultyFiltering:
         assert bev[0, 0, 0] == pytest.approx(100.0)
         # difficulty 2 (hard): occluded boxes count -> recall capped at 2/3
         assert bev[0, 2, 0] < 75.0
+
+
+class TestD3OverlapVectorized:
+    """Vectorized d3_box_overlap must match the loop oracle exactly."""
+
+    def _rand_boxes(self, rng, n):
+        b = np.zeros((n, 7))
+        b[:, 0] = rng.uniform(-10, 10, n)      # x
+        b[:, 1] = rng.uniform(-2, 2, n)        # y (camera, down, box bottom)
+        b[:, 2] = rng.uniform(0, 40, n)        # z
+        b[:, 3:6] = rng.uniform(0.3, 3.0, (n, 3))  # l, h, w
+        b[:, 6] = rng.uniform(-np.pi, np.pi, n)
+        return b
+
+    @pytest.mark.parametrize("criterion", [-1, 0, 1, 2])
+    def test_matches_loop_oracle(self, rng, criterion):
+        boxes = self._rand_boxes(rng, 40)
+        qboxes = self._rand_boxes(rng, 35)
+        # force clusters so many pairs genuinely overlap
+        qboxes[:20, [0, 1, 2]] = boxes[:20, [0, 1, 2]] + rng.normal(
+            0, 0.3, (20, 3))
+        got = kitti_ap.d3_box_overlap(boxes, qboxes, criterion)
+        want = kitti_ap._d3_box_overlap_loop(boxes, qboxes, criterion)
+        assert (want > 0.1).sum() > 10  # the test actually exercises overlap
+        np.testing.assert_array_equal(got, want)
+
+    def test_empty(self):
+        boxes = self._rand_boxes(np.random.RandomState(0), 4)
+        empty = np.zeros((0, 7))
+        assert kitti_ap.d3_box_overlap(boxes, empty).shape == (4, 0)
+        assert kitti_ap.d3_box_overlap(empty, boxes).shape == (0, 4)
+
+
+class TestNativeMatcherParity:
+    """Native C++ batched matcher (csrc/eval_matcher.cc) must reproduce the
+    pure-Python compute_statistics path bit-for-bit through eval_class."""
+
+    def test_full_eval_matches_python_path(self, rng, monkeypatch):
+        from pillars_tpu import native
+        if not native.available():
+            pytest.skip("native library not built")
+        gt_annos, dt_annos = [], []
+        for s in range(32):
+            locs, dims, rots = scene(s)
+            gt = make_anno(locs, dims, rots)
+            if s % 4 == 0:  # some occlusion + dontcare-like ignored rows
+                gt["occluded"] = np.array([2, 0, 0])
+            gt_annos.append(gt)
+            keep = rng.rand(len(locs)) > 0.2
+            n = int(keep.sum())
+            if n == 0:
+                keep[:] = True
+                n = len(locs)
+            dt_annos.append(make_anno(
+                locs[keep] + rng.normal(0, 0.05, (n, 3)),
+                dims[keep], rots[keep] + rng.normal(0, 0.1, n),
+                scores=rng.uniform(0.1, 1.0, n)))
+        _, _, bev_n, d3_n, aos_n = kitti_ap.get_official_eval_result(
+            gt_annos, dt_annos, ["Pedestrian"], compute_bbox=False)
+        monkeypatch.setattr(native, "available", lambda: False)
+        _, _, bev_p, d3_p, aos_p = kitti_ap.get_official_eval_result(
+            gt_annos, dt_annos, ["Pedestrian"], compute_bbox=False)
+        np.testing.assert_array_equal(bev_n, bev_p)
+        np.testing.assert_array_equal(d3_n, d3_p)
+        np.testing.assert_array_equal(aos_n, aos_p)
+
+
+class TestGetThresholdsClosedForm:
+    """Closed-form get_thresholds must match the line-faithful loop twin."""
+
+    @pytest.mark.parametrize("n,num_gt", [
+        (0, 5), (1, 1), (1, 7), (3, 3), (40, 41), (41, 41), (42, 41),
+        (100, 80), (1000, 900), (5000, 6000), (37, 2000),
+    ])
+    def test_matches_loop_oracle(self, rng, n, num_gt):
+        scores = rng.uniform(0, 1, n)
+        got = kitti_ap.get_thresholds(scores.copy(), num_gt)
+        want = kitti_ap._get_thresholds_loop(scores.copy(), num_gt)
+        assert got == want
+
+    def test_ties_match(self, rng):
+        scores = np.repeat(rng.uniform(0, 1, 20), 5)  # heavy score ties
+        got = kitti_ap.get_thresholds(scores.copy(), 90)
+        want = kitti_ap._get_thresholds_loop(scores.copy(), 90)
+        assert got == want
