@@ -47,14 +47,35 @@ class Evaluator:
         self.class_names = list(cfg.eval_input.desired_objects)
         self.measure_time = measure_time
 
+    def _drain(self, entry, dt_annos, timer):
+        """Read back one in-flight batch and convert it to annos."""
+        preds, image_idx = entry
+        with timer.stage("t_predict"):  # device->host wait
+            preds = jax.device_get(preds)
+        with timer.stage("t_anno"):
+            dt_annos += predictions_to_annos(
+                preds, image_idx, self.class_names,
+                self.cfg.model.postprocess.post_center_limit_range)
+
     def run(self, variables, max_samples: Optional[int] = None,
-            save_path: Optional[str] = None) -> Tuple[List[Dict], List[Dict]]:
+            save_path: Optional[str] = None,
+            progress: bool = True) -> Tuple[List[Dict], List[Dict]]:
         """Returns (dt_annos, gt_annos). ``save_path`` pickles the dt_annos
-        like the reference's per-epoch result.pkl (train.py:867-873)."""
+        like the reference's per-epoch result.pkl (train.py:867-873).
+
+        Pipelined with a bounded in-flight window: inference for batch i+k
+        is dispatched while batch i's results convert to annos on the host
+        (the reference runs these serially per-frame, train.py:752-861).
+        Stage timers keep the reference's names (train.py:629-712):
+        t_preprocess = host batch build wait, t_network = dispatch,
+        t_predict = device->host readback, t_anno = anno conversion."""
         batch_size = self.cfg.eval_input.batch_size
         it = BatchIterator(self.dataset, batch_size, shuffle=False,
                            num_workers=self.cfg.eval_input.num_workers,
-                           drop_remainder=False)
+                           drop_remainder=False,
+                           device_put_fn=jax.device_put)
+        total = (min(len(self.dataset), max_samples) if max_samples
+                 else len(self.dataset))
         timer = StageTimer(enabled=self.measure_time)
         if self.measure_time:
             # warm the compiled graph so stage times exclude compilation
@@ -70,32 +91,46 @@ class Evaluator:
                 _np.tile(_np.eye(4, dtype=_np.float32), (b, 1, 1))))
         dt_annos: List[Dict] = []
         count = 0
-        # pipelined: issue every batch's inference asynchronously, read
-        # results back once — offline eval has no per-frame latency
-        # requirement, and device->host syncs are the expensive part
-        pending = []
-        with timer.stage("t_network"):
-            for batch in it:
+        report_every = max(1, (total // batch_size) // 10 or 1)
+        pending: List[Tuple] = []
+        window = 4  # bounded in-flight depth
+        src = iter(it)
+        bi = 0
+        t_sample = time.perf_counter()
+        while True:
+            with timer.stage("t_preprocess"):
+                batch = next(src, None)
+            if batch is None:
+                break
+            with timer.stage("t_network"):
                 preds = self.infer(
                     variables, batch["points"], batch["num_points"],
                     batch["rect"], batch["trv2c"])
-                pending.append((preds, batch["image_idx"]))
-                count += batch["points"].shape[0]
-                if max_samples and count >= max_samples:
-                    break
-            jax.block_until_ready([p for p, _ in pending])
-        with timer.stage("t_anno"):
-            for preds, image_idx in pending:
-                preds = jax.device_get(preds)
-                dt_annos += predictions_to_annos(
-                    preds, image_idx, self.class_names,
-                    self.cfg.model.postprocess.post_center_limit_range)
+            pending.append((preds, batch["image_idx"]))
+            if len(pending) > window:
+                self._drain(pending.pop(0), dt_annos, timer)
+            count += batch["points"].shape[0]
+            timer.add("t_full_sample",
+                      (time.perf_counter() - t_sample) * 1e3)
+            t_sample = time.perf_counter()
+            bi += 1
+            if progress and bi % report_every == 0:
+                pct = min(100, 100 * count // max(total, 1))
+                msg = f"[eval] {count}/{total} clouds ({pct}%)"
+                if self.measure_time:
+                    avgs = timer.averages()
+                    msg += "".join(f" {k} {v / batch_size:.2f}ms"
+                                   for k, v in sorted(avgs.items()))
+                print(msg)
+            if max_samples and count >= max_samples:
+                break
+        while pending:
+            self._drain(pending.pop(0), dt_annos, timer)
         if self.measure_time:
-            n = max(count, 1)
             avgs = timer.averages()
-            print(f"per-cloud: t_network {avgs.get('t_network', 0) / n:.2f} "
-                  f"ms, t_anno {avgs.get('t_anno', 0) / n:.2f} ms "
-                  f"({count} clouds)")
+            print("per-cloud: " + ", ".join(
+                f"{k} {v / batch_size:.2f} ms"
+                for k, v in sorted(avgs.items())) + f" ({count} clouds)")
         if save_path:
             with open(save_path, "wb") as f:
                 pickle.dump(dt_annos, f, 2)
@@ -130,6 +165,12 @@ class Trainer:
                     f"by {n_dev} devices")
             self.mesh = make_mesh(n_dev, cfg.runtime.data_axis)
         self.dirs = ckpt.create_out_dirs(cfg.out_dir, cfg.model_id)
+        # archive the full resolved config into the run dir so every run is
+        # self-describing (reference copies configs/train.yaml, train.py:158)
+        try:
+            cfg.to_yaml(os.path.join(self.dirs["model_dir"], "train.yaml"))
+        except Exception:
+            pass  # yaml unavailable: run proceeds, just un-archived
         self.logger = MetricLogger(self.dirs["logs"], use_wandb=use_wandb,
                                    run_name=f"model_{self.dirs['model_id']}")
 
@@ -154,13 +195,18 @@ class Trainer:
             self.state = self.state._replace(
                 params=params,
                 batch_stats=batch_stats or self.state.batch_stats)
+        self._start_epoch = 0
+        self._best_score = 0.0
 
     # ------------------------------------------------------------------
     def resume(self, checkpoint_path: str) -> int:
         """Restore the FULL TrainState (params, BN stats, optimizer moments,
         step counter) — exact mid-training resume, which the reference could
         not do (its optimizer state was only saved in a disabled debug
-        branch, train.py:450-460). Returns the restored step."""
+        branch, train.py:450-460). Also restores the epoch counter and
+        best-score gate from the checkpoint ``extra`` so a resumed run
+        continues epoch numbering and checkpoint-gating decisions exactly
+        where the interrupted run left them. Returns the restored step."""
         state, extra = ckpt.load_checkpoint(checkpoint_path)
         if isinstance(state, dict):  # params-only checkpoint
             self.state = self.state._replace(
@@ -169,6 +215,9 @@ class Trainer:
                 or self.state.batch_stats)
         else:
             self.state = TrainState(*state)
+        self._start_epoch = int(extra.get("epoch", -1)) + 1
+        self._best_score = float(
+            extra.get("best_score", extra.get("score", 0.0)))
         return int(jax.device_get(self.state.step))
 
     # ------------------------------------------------------------------
@@ -191,37 +240,45 @@ class Trainer:
         cfg = self.cfg
         epochs = epochs if epochs is not None else cfg.train.epochs_total
         batch_size = cfg.train_input.batch_size
-        best_score = 0.0
-        step_count = 0
+        best_score = self._best_score
+        step_count = int(jax.device_get(self.state.step))
+
+        # H2D prefetch: the pipeline's background producer puts each batch
+        # on device (sharded over the mesh when one exists) so the transfer
+        # overlaps the previous step's compute (SURVEY §2.4 capability;
+        # replaces tf.data prefetch-to-device).
+        if self.mesh is not None:
+            from pillars_tpu.parallel import shard_batch
+
+            def _put(b):
+                return shard_batch(b, self.mesh, self.cfg.runtime.data_axis)
+        else:
+            _put = jax.device_put
 
         fixed_batch = None
         if replay_batch_file:
             with open(replay_batch_file, "rb") as f:
                 fixed_batch = pickle.load(f)
 
-        for epoch in range(epochs):
+        for epoch in range(self._start_epoch, epochs):
             if fixed_batch is not None:
-                it = [fixed_batch] * fixture_repeats
+                it = [_put(fixed_batch)] * fixture_repeats
             elif overfit_first_batch:
                 first = next(iter(BatchIterator(
                     self.dataset, batch_size, shuffle=False, num_workers=1)))
-                it = [first] * fixture_repeats
+                it = [_put(first)] * fixture_repeats
             else:
                 it = BatchIterator(
                     self.dataset, batch_size, shuffle=cfg.train_input.shuffle,
                     num_workers=cfg.train_input.num_workers,
                     prefetch_depth=cfg.train_input.prefetch_depth,
+                    device_put_fn=_put,
                     seed=cfg.train.seed + epoch)
             t_epoch = time.time()
             for batch in it:
                 if save_batch_file and step_count == 0:
                     with open(save_batch_file, "wb") as f:
                         pickle.dump(jax.device_get(batch), f, 2)
-                if self.mesh is not None:
-                    from pillars_tpu.parallel import shard_batch
-
-                    batch = shard_batch(batch, self.mesh,
-                                        self.cfg.runtime.data_axis)
                 self.state, metrics = self.step_fn(self.state, batch)
                 if step_count % cfg.train.log_every_steps == 0:
                     self.logger.log_train_step(step_count, epoch, metrics)
@@ -235,7 +292,8 @@ class Trainer:
             if self.evaluator is not None:
                 ckpt.save_checkpoint(
                     os.path.join(self.dirs["checkpoints"], "weights_temp.pkl"),
-                    self.state)
+                    self.state,
+                    extra={"epoch": epoch, "best_score": best_score})
                 result, bev, d3, aos, score = self.evaluator.evaluate(
                     self.variables(), max_samples=eval_max_samples,
                     save_path=os.path.join(self.dirs["results"],
@@ -251,5 +309,14 @@ class Trainer:
                     ckpt.save_checkpoint(
                         os.path.join(self.dirs["checkpoints"],
                                      f"weights_{epoch}.pkl"),
-                        self.state, extra={"score": score, "epoch": epoch})
+                        self.state, extra={"score": score, "epoch": epoch,
+                                           "best_score": best_score})
+                    # refresh the temp ckpt's gate so a resume after this
+                    # point reproduces the uninterrupted gating decisions
+                    ckpt.save_checkpoint(
+                        os.path.join(self.dirs["checkpoints"],
+                                     "weights_temp.pkl"),
+                        self.state,
+                        extra={"epoch": epoch, "best_score": best_score})
+        self._best_score = best_score
         return best_score

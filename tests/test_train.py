@@ -136,6 +136,32 @@ class TestCheckpoint:
         assert d2["model_id"] == "2"
         assert os.path.isdir(d2["checkpoints"])
 
+    def test_resume_restores_epoch_and_gate(self, tmp_path):
+        """Trainer.resume must restore epoch numbering + the best-score
+        checkpoint gate from the checkpoint extra, so a killed-and-resumed
+        run makes the SAME gating decisions as an uninterrupted one
+        (VERDICT r1 weak #4)."""
+        from pillars_tpu.train.loop import TrainState
+        from pillars_tpu.train.trainer import Trainer
+
+        full = TrainState(step=jnp.int32(123), params={"w": jnp.ones(2)},
+                          batch_stats={}, opt_state=(jnp.zeros(2),))
+        path = str(tmp_path / "weights_temp.pkl")
+        ckpt.save_checkpoint(path, full,
+                             extra={"epoch": 4, "best_score": 37.5})
+        t = object.__new__(Trainer)  # bookkeeping only; no dataset needed
+        t.state = TrainState(step=jnp.int32(0), params=None,
+                             batch_stats=None, opt_state=None)
+        step = t.resume(path)
+        assert step == 123
+        assert t._start_epoch == 5       # continue AFTER epoch 4
+        assert t._best_score == 37.5     # gate survives the restart
+        np.testing.assert_allclose(np.asarray(t.state.params["w"]), [1, 1])
+        # a pre-bookkeeping checkpoint (no extra) resumes from scratch
+        ckpt.save_checkpoint(path, full)
+        t.resume(path)
+        assert t._start_epoch == 0 and t._best_score == 0.0
+
 
 class TestMailbox:
     def test_latest_wins_and_skip_count(self):
