@@ -129,7 +129,10 @@ class PFNConfig:
     dense_cell: bool = True
     # SECOND's SimpleVoxel encoder: per-voxel mean of the raw point
     # features, no learned layer (second.pytorch voxel_encoder) — used in
-    # front of the sparse middle extractor. Requires pointwise=false.
+    # front of the sparse middle extractor. Two supported paths: with
+    # pointwise=true the pointwise voxelizer's scan-wise voxel_mean fast
+    # path is used (detector.py); with pointwise=false the mean is taken
+    # over the dense [P, N, D] pillar tensor.
     simple_mean: bool = False
 
 

@@ -394,9 +394,10 @@ def gather_conv(features: jax.Array, nbr: jax.Array,
     features [V, Cin], nbr [Vo, K] with sentinel V, weights [K, Cin, Cout].
     One zero guard row makes the sentinel inert; each tap is a flat row
     gather (1-D global indices) + an MXU matmul — the gathers are the only
-    row-addressed ops in the sparse path. For submanifold convs pass
-    ``center_tap`` (the identity tap: nbr[:, c] == arange for valid rows,
-    padding rows hold zeros) to skip that tap's gather.
+    row-addressed ops in the sparse path. ``center_tap`` is accepted for
+    API compatibility but IGNORED: the fused tap-major form below gathers
+    the identity tap like any other (skipping it would split the single
+    fused gather into two launches, which measured slower).
     """
     V, cin = features.shape
     K = nbr.shape[1]

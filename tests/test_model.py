@@ -133,6 +133,63 @@ class TestLossSemantics:
         # rot_gt = [0.5, -0.43, -0.1, 1.77] -> dir = [1, 0, 0, 1]
         np.testing.assert_allclose(tgt[0, :, 1], [1, 0, 0, 1])
 
+    def test_detection_loss_matches_helper_formulation(self, rng):
+        """The live lane-major detection_loss must equal the helper-based
+        anchor-major formulation (the helpers ARE the formula oracles,
+        each pinned against reference voxelnet.py above). Guards against
+        drift in the fused inline rewrite (ADVICE r1)."""
+        cfg = CFG.model.loss
+        B, H, W, T, C = 2, 4, 6, 2, 1
+        A = H * W * T
+        box_preds = rng.randn(B, H, W, T * 7).astype(np.float32)
+        cls_preds = rng.randn(B, H, W, T * C).astype(np.float32)
+        dir_preds = rng.randn(B, H, W, T * 2).astype(np.float32)
+        anchors = rng.randn(A, 7).astype(np.float32)
+        labels = rng.randint(-1, 2, (B, A)).astype(np.int32)
+        labels[:, :3] = 1  # ensure positives exist
+        reg_targets = rng.randn(B, A, 7).astype(np.float32)
+
+        got = L.detection_loss(
+            cfg, C, jnp.array(box_preds), jnp.array(cls_preds),
+            jnp.array(dir_preds), jnp.array(anchors), jnp.array(labels),
+            jnp.array(reg_targets))
+
+        # helper-based anchor-major twin. Head [B,H,W,T*f] -> [B,A,f]
+        # with a = (h*W + w)*T + t, the same anchor order detection_loss
+        # uses internally.
+        bp = jnp.array(box_preds.reshape(B, A, 7))
+        cp = jnp.array(cls_preds.reshape(B, A, C))
+        dp = jnp.array(dir_preds.reshape(B, A, 2))
+        rt = jnp.array(reg_targets)
+        lab = jnp.array(labels)
+        cls_w, reg_w, cared = L.prepare_loss_weights(lab, cfg)
+        cls_t = lab * cared.astype(lab.dtype)
+        one_hot = jax.nn.one_hot(cls_t, C + 1, dtype=jnp.float32)[..., 1:]
+        # sin-difference encoding (reference voxelnet.py:63-69)
+        rp, rtt = bp[..., 6:7], rt[..., 6:7]
+        bp_sin = jnp.concatenate(
+            [bp[..., :6], jnp.sin(rp) * jnp.cos(rtt)], axis=-1)
+        rt_sin = jnp.concatenate(
+            [rt[..., :6], jnp.cos(rp) * jnp.sin(rtt)], axis=-1)
+        loc = L.weighted_smooth_l1_loss(cfg, bp_sin, rt_sin, reg_w)
+        cls = L.sigmoid_focal_loss(cfg, cp, one_hot, cls_w)
+        loc_red = jnp.sum(loc) / B * cfg.localization_weight
+        cls_red = jnp.sum(cls) / B * cfg.classification_weight
+        dir_t = L.get_direction_target(jnp.array(anchors)[None], rt)
+        dw = (lab > 0).astype(jnp.float32)
+        dw = dw / jnp.clip(jnp.sum(dw, -1, keepdims=True), 1.0, 9999999.0)
+        dirl = L.softmax_direction_loss(dp, dir_t, dw)
+        dir_red = jnp.sum(dirl) / B * cfg.direction_weight
+
+        np.testing.assert_allclose(float(got.loc_loss_reduced),
+                                   float(loc_red), rtol=1e-5)
+        np.testing.assert_allclose(float(got.cls_loss_reduced),
+                                   float(cls_red), rtol=1e-5)
+        np.testing.assert_allclose(float(got.dir_loss_reduced),
+                                   float(dir_red), rtol=1e-5)
+        np.testing.assert_allclose(
+            float(got.loss), float(loc_red + cls_red + dir_red), rtol=1e-5)
+
     def test_total_loss_finite_and_positive(self, det_and_vars, rng):
         det, variables = det_and_vars
         pts, n = make_cloud(rng)
