@@ -109,8 +109,8 @@ def cmd_synth_data(args):
 
     root = synthetic.generate_dataset(
         args.root, num_train=args.num_train, num_test=args.num_test,
-        seed=args.seed)
-    print(f"synthetic dataset at {root}")
+        seed=args.seed, profile=args.profile)
+    print(f"synthetic dataset at {root} (profile={args.profile})")
 
 
 def cmd_stream(args):
@@ -250,6 +250,8 @@ def main(argv: Optional[List[str]] = None):
     sp.add_argument("--num-train", type=int, default=32)
     sp.add_argument("--num-test", type=int, default=8)
     sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--profile", default="easy", choices=["easy", "hard"],
+                    help="hard = stratified occlusion/sparsity benchmark")
     sp.set_defaults(fn=cmd_synth_data)
 
     sp = sub.add_parser("stream", help="streaming inference (replay/live)")

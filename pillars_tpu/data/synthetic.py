@@ -93,20 +93,208 @@ def make_scene(rng, max_peds: int = 3) -> Tuple[np.ndarray, np.ndarray]:
     return np.concatenate(pts, axis=0).astype(np.float32), gt
 
 
-def _write_kitti_label(path, gt_boxes_lidar):
-    """Write lidar boxes as KITTI-format camera-frame labels."""
+def _write_kitti_label(path, gt_boxes_lidar, meta=None):
+    """Write lidar boxes as KITTI-format camera-frame labels.
+
+    ``meta``: optional list of per-object dicts with ``truncated`` /
+    ``occluded`` / ``bbox`` (pixel [x1, y1, x2, y2]); defaults reproduce the
+    easy-profile fixed values (everything easy-difficulty)."""
     cam = nb.box_lidar_to_camera(gt_boxes_lidar, RECT, VELO2CAM)
     lines = []
-    for b in cam:
+    for i, b in enumerate(cam):
         x, y, z, l, h, w, ry = b
         # kitti file order: h w l, camera loc at box BOTTOM center (y down):
         # our lidar->camera conversion maps z-bottom to y via -z, so the
         # camera y already refers to the bottom in this synthetic frame.
         alpha = -np.arctan2(-b[0], b[2]) + ry
+        m = meta[i] if meta else {}
+        trunc = m.get("truncated", 0.0)
+        occ = m.get("occluded", 0)
+        bx = m.get("bbox", (300.0, 150.0, 400.0, 350.0))
         lines.append(
-            f"Pedestrian 0.00 0 {alpha:.2f} 300.00 150.00 400.00 350.00 "
+            f"Pedestrian {trunc:.2f} {occ} {alpha:.2f} "
+            f"{bx[0]:.2f} {bx[1]:.2f} {bx[2]:.2f} {bx[3]:.2f} "
             f"{h:.2f} {w:.2f} {l:.2f} {x:.2f} {y:.2f} {z:.2f} {ry:.2f}")
     pathlib.Path(path).write_text("\n".join(lines) + "\n" if lines else "")
+
+
+# ---------------------------------------------------------------------------
+# "hard" benchmark profile (round-2 AP anchor): distance-stratified point
+# sparsity, front-surface-only returns, shadow occlusion from scene clutter,
+# lateral truncation, pedestrian-like distractors, and a virtual pinhole
+# bbox so the KITTI easy/moderate/hard gates (MIN_HEIGHT 40/25/25 px,
+# MAX_OCCLUSION 0/1/2, MAX_TRUNCATION .15/.3/.5) actually stratify.
+# A trained detector lands mid-curve here instead of saturating at AP=100
+# like the easy profile (VERDICT r1 missing #2).
+# ---------------------------------------------------------------------------
+
+_PINHOLE_F = 120.0  # px; 1.7m ped: 102px@2m, 40px@5.1m, 25px@8.2m
+
+
+def _front_surface_cull(rng, pts, center_xy, keep_back=0.25):
+    """Drop most points on the sensor-averted half of a blob (a depth
+    camera sees surfaces, not volumes)."""
+    ray = center_xy / max(np.linalg.norm(center_xy), 1e-6)
+    depth = (pts[:, :2] - center_xy) @ ray
+    back = depth > 0
+    keep = ~back | (rng.uniform(0, 1, len(pts)) < keep_back)
+    return pts[keep]
+
+
+def _range_scaled_count(rng, dist, base_lo=150, base_hi=450, ref=1.5):
+    n = int(rng.randint(base_lo, base_hi) * min(1.0, (ref / dist) ** 2))
+    return max(n, 3)
+
+
+def _cylinder_points(rng, x, y, z0, radius, height, n):
+    ang = rng.uniform(-np.pi, np.pi, n)
+    pts = np.zeros((n, 3), dtype=np.float32)
+    pts[:, 0] = x + np.cos(ang) * radius
+    pts[:, 1] = y + np.sin(ang) * radius
+    pts[:, 2] = z0 + rng.uniform(0, 1, n) * height
+    pts[:, :2] += rng.normal(0, 0.02, (n, 2))
+    return pts
+
+
+def _blob_points(rng, x, y, z0, w, l, h, n):
+    pts = np.zeros((n, 3), dtype=np.float32)
+    u = rng.normal(0, 0.35, (n, 3))
+    pts[:, 0] = x + u[:, 0] * w
+    pts[:, 1] = y + u[:, 1] * l
+    pts[:, 2] = z0 + np.clip(0.5 + u[:, 2] * 0.4, 0, 1) * h
+    return pts
+
+
+def _shadow_mask(pts, occluders):
+    """True for points NOT occluded: a point is shadowed when its BEV ray
+    from the origin passes through an occluder disc closer than the point."""
+    if not occluders:
+        return np.ones(len(pts), dtype=bool)
+    ang = np.arctan2(pts[:, 1], pts[:, 0])
+    rng_pt = np.linalg.norm(pts[:, :2], axis=1)
+    shadowed = np.zeros(len(pts), dtype=bool)
+    for (cx, cy, rad) in occluders:
+        d = np.hypot(cx, cy)
+        if d < 1e-3:
+            continue
+        half = np.arcsin(min(rad / d, 1.0)) * 0.9
+        ca = np.arctan2(cy, cx)
+        da = np.abs(np.angle(np.exp(1j * (ang - ca))))
+        shadowed |= (da < half) & (rng_pt > d + rad * 0.5)
+    return ~shadowed
+
+
+def make_scene_hard(rng, max_peds: int = 5):
+    """Returns (points [N,3] lidar, gt_boxes_lidar [K,7], meta list).
+
+    meta[i]: truncated / occluded / bbox for the KITTI label line."""
+    n_ped = rng.randint(1, max_peds + 1)
+    boxes = []
+    for _ in range(n_ped):
+        for _try in range(30):
+            stratum = rng.randint(0, 3)
+            dist = [rng.uniform(0.9, 2.5), rng.uniform(2.5, 4.5),
+                    rng.uniform(4.5, 6.2)][stratum]
+            ang = rng.uniform(-0.62, 0.62)  # keep x>0 cone
+            x = dist * np.cos(ang)
+            y = np.clip(dist * np.sin(ang) + rng.uniform(-0.8, 0.8),
+                        -2.75, 2.75)
+            box = np.array([
+                x, y, -1.45,
+                rng.uniform(0.5, 0.7), rng.uniform(0.6, 1.0),
+                rng.uniform(1.5, 1.9), rng.uniform(-np.pi, np.pi)],
+                dtype=np.float32)
+            if not boxes or np.all(np.linalg.norm(
+                    np.array(boxes)[:, :2] - box[:2], axis=1) > 1.0):
+                break
+        boxes.append(box)
+    gt = np.array(boxes, dtype=np.float32)
+
+    # clutter: poles / bushes / crates; some pedestrian-sized (distractors)
+    occluders = []  # (x, y, bev_radius) for shadow casting
+    clutter_pts = []
+    for _ in range(rng.randint(2, 7)):
+        kind = rng.randint(0, 3)
+        d = rng.uniform(0.8, 5.8)
+        a = rng.uniform(-0.62, 0.62)
+        cx, cy = d * np.cos(a), np.clip(d * np.sin(a), -2.5, 2.5)
+        if np.any(np.linalg.norm(gt[:, :2] - [cx, cy], axis=1) < 0.8):
+            continue
+        n = _range_scaled_count(rng, d, 80, 260)
+        if kind == 0:    # pole
+            rad = rng.uniform(0.05, 0.2)
+            clutter_pts.append(_cylinder_points(
+                rng, cx, cy, -1.45, rad, rng.uniform(1.0, 2.2), n))
+            occluders.append((cx, cy, rad))
+        elif kind == 1:  # bush / blob, sometimes pedestrian-sized
+            w = rng.uniform(0.4, 1.0)
+            h = rng.uniform(0.6, 1.8)
+            clutter_pts.append(_blob_points(
+                rng, cx, cy, -1.45, w, w * rng.uniform(0.8, 1.3), h, n))
+            occluders.append((cx, cy, w * 0.6))
+        else:            # crate / bin
+            rad = rng.uniform(0.25, 0.5)
+            clutter_pts.append(_cylinder_points(
+                rng, cx, cy, -1.45, rad, rng.uniform(0.6, 1.2), n))
+            occluders.append((cx, cy, rad))
+
+    # deliberate occluder in front of one pedestrian (50% of scenes)
+    if rng.uniform() < 0.5 and len(gt):
+        tgt = gt[rng.randint(len(gt))]
+        frac = rng.uniform(0.4, 0.8)
+        cx, cy = tgt[0] * frac, tgt[1] * frac
+        rad = rng.uniform(0.2, 0.45)
+        d = np.hypot(cx, cy)
+        if d > 0.7:
+            clutter_pts.append(_cylinder_points(
+                rng, cx, cy, -1.45, rad, rng.uniform(0.9, 1.6),
+                _range_scaled_count(rng, d, 80, 260)))
+            occluders.append((cx, cy, rad))
+
+    pts_all = [_scene_background(rng)]
+    if clutter_pts:
+        pts_all.append(np.concatenate(clutter_pts, axis=0))
+
+    meta = []
+    for b in gt:
+        dist = float(np.hypot(b[0], b[1]))
+        n = _range_scaled_count(rng, dist)
+        raw = _pedestrian_points(rng, b, n=n)
+        raw[:, :2] += rng.normal(0, 0.005 * dist, (len(raw), 2))
+        raw = _front_surface_cull(rng, raw, b[:2])
+        vis = _shadow_mask(raw, occluders)
+        # partial shadows: occluders leak a per-object random fraction, so
+        # the occlusion label spans the full 0/1/2 range
+        leak = rng.uniform(0.02, 0.5)
+        kept = raw[vis | (rng.uniform(0, 1, len(raw)) < leak)]
+        occ_frac = 1.0 - len(kept) / max(len(raw), 1)
+        # lateral truncation: box volume outside the y range is never seen
+        y_lo, y_hi = b[1] - b[4] / 2, b[1] + b[4] / 2
+        seen = (min(y_hi, 2.56) - max(y_lo, -2.56)) / max(y_hi - y_lo, 1e-6)
+        trunc = float(np.clip(1.0 - seen, 0.0, 1.0))
+        kept = kept[np.abs(kept[:, 1]) < 2.56]
+        pts_all.append(kept.astype(np.float32))
+        occluded = 0 if occ_frac < 0.15 else (1 if occ_frac < 0.5 else 2)
+        # virtual pinhole bbox: camera z == lidar x (VELO2CAM above)
+        h_px = _PINHOLE_F * b[5] / max(b[0], 0.5)
+        w_px = _PINHOLE_F * max(b[3], b[4]) / max(b[0], 0.5)
+        cx_px = 620.0 + _PINHOLE_F * (-b[1]) / max(b[0], 0.5)
+        cy_px = 187.0
+        meta.append(dict(
+            truncated=trunc, occluded=occluded,
+            bbox=(cx_px - w_px / 2, cy_px - h_px / 2,
+                  cx_px + w_px / 2, cy_px + h_px / 2)))
+
+    pts = np.concatenate(pts_all, axis=0).astype(np.float32)
+    # sensor dropout + ghost points
+    keep = rng.uniform(0, 1, len(pts)) > 0.05
+    pts = pts[keep]
+    n_ghost = rng.randint(20, 120)
+    ghosts = np.stack([
+        rng.uniform(0.0, 6.4, n_ghost),
+        rng.uniform(-2.56, 2.56, n_ghost),
+        rng.uniform(-1.45, 1.4, n_ghost)], axis=1).astype(np.float32)
+    return np.concatenate([pts, ghosts], axis=0), gt, meta
 
 
 def _write_calib(path):
@@ -121,8 +309,12 @@ def _write_calib(path):
 
 
 def generate_dataset(root: str, num_train: int = 32, num_test: int = 8,
-                     seed: int = 0, max_peds: int = 3) -> str:
-    """Create a full reference-format dataset under ``root``. Returns root."""
+                     seed: int = 0, max_peds: int = 3,
+                     profile: str = "easy") -> str:
+    """Create a full reference-format dataset under ``root``. Returns root.
+
+    ``profile``: "easy" (dense, unoccluded — hermetic plumbing tests) or
+    "hard" (the round-2 AP benchmark: see make_scene_hard)."""
     rng = np.random.RandomState(seed)
     rootp = pathlib.Path(root)
     for sub, count, training in (("training", num_train, True),
@@ -131,10 +323,16 @@ def generate_dataset(root: str, num_train: int = 32, num_test: int = 8,
             (rootp / sub / d).mkdir(parents=True, exist_ok=True)
         for i in range(count):
             sid = "%06d" % i
-            points, gt = make_scene(rng, max_peds)
+            if profile == "hard":
+                points, gt, meta = make_scene_hard(
+                    rng, max_peds if max_peds != 3 else 5)
+            else:
+                points, gt = make_scene(rng, max_peds)
+                meta = None
             with open(rootp / sub / "velodyne" / f"{sid}.pkl", "wb") as f:
                 pickle.dump(points, f, 2)
-            _write_kitti_label(rootp / sub / "label_2" / f"{sid}.txt", gt)
+            _write_kitti_label(rootp / sub / "label_2" / f"{sid}.txt", gt,
+                               meta)
             _write_calib(rootp / sub / "calib" / f"{sid}.txt")
 
     ki.create_info_file(root, list(range(num_train)), training=True,

