@@ -260,10 +260,21 @@ def import_reference_h5(h5path: str, variables, strict: bool = True) -> Any:
         if len(kernels) != 1 and strict:
             raise ValueError(f"h5 import: deconv{di}: {len(kernels)} kernels")
         name, arr = kernels[0]
-        if arr.shape == kshape:
+        keras_shape = (kshape[0], kshape[1], kshape[3], kshape[2])
+        if arr.shape == keras_shape:
+            # Keras Conv2DTranspose kernels are (k, k, O, I) with the
+            # gradient-of-conv orientation: flax's ConvTranspose
+            # (lax.conv_transpose, transpose_kernel=False) additionally
+            # needs the SPATIAL axes flipped, not just the channel
+            # transpose (settled numerically:
+            # tests/test_h5_import.py::TestConv2DTransposeOrientation).
+            # For square I == O the shapes are ambiguous; a genuine Keras
+            # file is always (O, I), so Keras orientation wins.
+            dec["deconv"]["kernel"] = np.transpose(
+                arr[::-1, ::-1], (0, 1, 3, 2))
+        elif arr.shape == kshape:
+            # channels match flax order but not Keras: not a Keras file
             dec["deconv"]["kernel"] = np.asarray(arr)
-        elif arr.shape == (kshape[0], kshape[1], kshape[3], kshape[2]):
-            dec["deconv"]["kernel"] = np.transpose(arr, (0, 1, 3, 2))
         elif strict:
             raise ValueError(
                 f"h5 import: deconv{di} kernel shape {arr.shape} "
