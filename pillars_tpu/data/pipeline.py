@@ -124,7 +124,15 @@ class PedestrianDataset:
         self._debug_publish("input", points, gt_boxes)
 
         if acfg.enabled and self.sampler is not None:
-            # guarantee >= 1 object per scene (reference load_data.py:2706)
+            # the reference's `while` loop retries sampling until the scene
+            # has >= 1 object (reference load_data.py:2706) and can spin
+            # forever on a degenerate gt-database; we bound it at 20 tries
+            # (each try is an independent random draw, so P(all-empty) is
+            # astronomically small on any sane database). If all fail, a
+            # zero-GT scene reaches the loss, which is well-defined here:
+            # prepare_loss_weights clamps the positive normalizer at 1 and
+            # the scene contributes background-classification signal only
+            # (tested: tests/test_data.py::test_zero_gt_scene_loss_defined).
             for _ in range(20):
                 sampled = self.sampler.sample_all(
                     self.root, gt_boxes, gt_names, points,

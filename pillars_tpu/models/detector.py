@@ -336,34 +336,31 @@ class PillarsDetector:
     def profile_stages(self, variables, points, num_valid, rect, trv2c,
                        iters: int = 20) -> Dict[str, float]:
         """The reference's measure_time_extended tier (voxelnet.py:753-903):
-        per-stage wall-clock ms for t_voxel_features / t_spatial_features /
-        t_rpn / t_nms_func, measured with block_until_ready on separately
-        jitted stages. For whole-graph numbers use bench.py — stage
+        per-stage DEVICE ms for t_voxel_features / t_spatial_features /
+        t_rpn / t_nms_func, measured with the scan-inside-jit honest clock
+        (utils.profiling.device_time_ms — on this image's TPU relay
+        block_until_ready does not wait, so per-call wall timing is
+        meaningless). For whole-graph numbers use bench.py — stage
         boundaries prevent fusion, so the sum exceeds the fused time."""
-        import time as _time
+        from pillars_tpu.utils.profiling import device_time_ms
 
         thr = self.config.eval_input.anchor_area_threshold
 
-        vox_fn = jax.jit(self.voxelize_batch)
-        voxelized = jax.block_until_ready(vox_fn(points, num_valid))
-        net_fn = jax.jit(lambda v: self.apply(variables, v, train=False))
-        preds = jax.block_until_ready(net_fn(voxelized))
-        post_fn = jax.jit(lambda v, p: self.postprocess(
-            p, self.anchors_mask_batch(v.coords, v.pillar_mask, thr),
-            rect, trv2c))
-        jax.block_until_ready(post_fn(voxelized, preds))
-
-        def t(fn, *a):
-            jax.block_until_ready(fn(*a))
-            t0 = _time.perf_counter()
-            out = [fn(*a) for _ in range(iters)]
-            jax.block_until_ready(out)
-            return (_time.perf_counter() - t0) / iters * 1e3
+        voxelized = jax.jit(self.voxelize_batch)(points, num_valid)
+        preds = jax.jit(
+            lambda v: self.apply(variables, v, train=False))(voxelized)
 
         return {
-            "t_voxel_features": t(vox_fn, points, num_valid),
-            "t_spatial_features_plus_rpn": t(net_fn, voxelized),
-            "t_nms_func": t(post_fn, voxelized, preds),
+            "t_voxel_features": device_time_ms(
+                self.voxelize_batch, (points, num_valid), iters),
+            "t_spatial_features_plus_rpn": device_time_ms(
+                lambda v: self.apply(variables, v, train=False),
+                (voxelized,), iters),
+            "t_nms_func": device_time_ms(
+                lambda v, p: self.postprocess(
+                    p, self.anchors_mask_batch(
+                        v.coords, v.pillar_mask, thr), rect, trv2c),
+                (voxelized, preds), iters),
         }
 
     # ------------------------------------------------------------------

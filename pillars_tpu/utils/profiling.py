@@ -62,3 +62,50 @@ def profiler_trace(log_dir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def device_time_ms(stage_fn, args, iters: int = 20) -> float:
+    """Honest per-call device time (ms) for a jit-traceable ``stage_fn``.
+
+    On relay-backed TPUs ``block_until_ready`` does NOT wait for device
+    completion, so per-call wall clocks measure RPC dispatch. This runs the
+    stage ``iters`` times inside ONE jitted fori_loop with an
+    order-dependent scalar carry, forces execution with ``device_get``,
+    and subtracts the measured sync round-trip baseline (the bench.py
+    protocol, validated against v5e peak bf16 on a matmul chain)."""
+    import time
+
+    import jax.numpy as jnp
+
+    def scalarize(out):
+        leaves = [l for l in jax.tree_util.tree_leaves(out)
+                  if hasattr(l, "dtype")
+                  and jnp.issubdtype(jnp.asarray(l).dtype, jnp.number)]
+        return sum((jnp.sum(l.astype(jnp.float32)) for l in leaves),
+                   jnp.float32(0))
+
+    @jax.jit
+    def run(*a):
+        def body(i, acc):
+            return acc + scalarize(stage_fn(*a))
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    @jax.jit
+    def sync(*a):
+        return scalarize(jax.tree_util.tree_leaves(a)[0])
+
+    args = jax.device_put(args)
+    jax.device_get(run(*args))   # compile + warm
+    jax.device_get(sync(*args))
+    base = min(_timed(lambda: jax.device_get(sync(*args)))
+               for _ in range(3))
+    total = _timed(lambda: jax.device_get(run(*args)))
+    return max(total - base, 0.0) * 1e3 / iters
+
+
+def _timed(f) -> float:
+    import time
+
+    t0 = time.perf_counter()
+    f()
+    return time.perf_counter() - t0

@@ -76,6 +76,28 @@ class TestSyntheticPrep:
         # pixel heights straddle the 40px easy gate
         assert (hts < 40).any() and (hts > 40).any()
 
+    def test_zero_gt_scene_loss_defined(self):
+        """If the bounded sampler retry exhausts (pipeline.py:_augment) a
+        zero-GT scene reaches the loss; unlike the reference's unbounded
+        while (load_data.py:2706) this is allowed — the loss must stay
+        finite with a clamped normalizer and zero regression signal."""
+        import jax.numpy as jnp
+
+        from pillars_tpu.config import Config
+        from pillars_tpu.models import losses as L
+
+        cfg = Config.default().model.loss
+        B, A = 1, 32
+        labels = jnp.zeros((B, A), jnp.int32)  # all background
+        out = L.detection_loss(
+            cfg, 1,
+            jnp.zeros((B, 4, 4, 2 * 7)), jnp.zeros((B, 4, 4, 2)),
+            jnp.zeros((B, 4, 4, 2 * 2)), jnp.zeros((A, 7)),
+            labels, jnp.zeros((B, A, 7)))
+        assert np.isfinite(float(out.loss))
+        assert float(out.loc_loss_reduced) == 0.0  # no positives
+        assert float(out.cls_loss_reduced) > 0.0   # background CE only
+
     def test_gt_label_roundtrip(self, dataset_root):
         """Label file (camera) -> lidar must land pedestrians inside range."""
         with open(f"{dataset_root}/kitti_infos_train.pkl", "rb") as f:

@@ -81,6 +81,34 @@ class TestStageTimer:
         assert t.averages() == {}
 
 
+class TestDeviceTimeMs:
+    def test_scan_clock_positive_and_scales(self):
+        """The honest clock must return a finite positive per-call ms that
+        grows with the work size (methodology smoke; exactness needs real
+        hardware)."""
+        import jax.numpy as jnp
+
+        from pillars_tpu.utils.profiling import device_time_ms
+
+        import numpy as np
+        small = np.ones((64, 64), np.float32)
+        big = np.ones((512, 512), np.float32)
+        f = lambda x: jnp.tanh(x @ x)
+        t_small = device_time_ms(f, (small,), iters=8)
+        t_big = device_time_ms(f, (big,), iters=8)
+        assert np.isfinite(t_small) and t_small >= 0
+        assert t_big > t_small
+
+    def test_pytree_output(self):
+        import jax.numpy as jnp
+
+        from pillars_tpu.utils.profiling import device_time_ms
+
+        f = lambda x: {"a": x * 2, "m": x > 0}  # bool leaf must be skipped
+        t = device_time_ms(f, (jnp.ones((8, 8)),), iters=2)
+        assert t >= 0
+
+
 class TestCocoEval:
     def test_coco_result(self):
         from pillars_tpu.eval import kitti_ap
