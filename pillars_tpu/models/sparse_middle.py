@@ -166,20 +166,27 @@ class SparseMiddleExtractor(nn.Module):
                 name=f"down{i}")(x, nbr_g, ovalid.reshape(-1), train)
             keys, valid, dims, cap = okeys, ovalid, odims, max_active
 
-        # scatter the surviving active set onto the dense output grid and
-        # fold z into channels: [B, nz', ny', nx', C] -> [B, ny', nx', nz'*C]
+        # scatter the surviving active set DIRECTLY into the z-folded BEV
+        # layout [B, ny', nx', nz'*C]: voxel (z, y, x) contributes its C
+        # channels at column offset z*C of row y*nx+x (one-hot-z outer
+        # product -> disjoint column blocks, so the adds never collide).
+        # Scattering into the final layout skips the dense
+        # [nz', ny', nx', C] -> [ny', nx', nz'*C] transpose, a pure-HBM
+        # relayout of the whole canvas (180 MB at the shipped KITTI
+        # topology) that measured as the single largest piece of the
+        # composed stage cost (scripts/probe_sparse_mid3.py).
         onz, ony, onx = dims
         c_out = x.shape[-1]
         x = x.reshape(b, -1, c_out)
 
         def one(feats, kk, vv):
-            canvas = jnp.zeros((onz * ony * onx, c_out), feats.dtype)
-            kk = jnp.where(vv, kk, onz * ony * onx)
-            return canvas.at[kk].add(
-                jnp.where(vv[:, None], feats, 0), mode="drop",
-                indices_are_sorted=True)
+            z = kk // (ony * onx)          # sentinel rows -> z == onz
+            yx = kk - z * (ony * onx)
+            vals = (jax.nn.one_hot(z, onz, dtype=feats.dtype)[:, :, None]
+                    * jnp.where(vv[:, None], feats, 0)[:, None, :]
+                    ).reshape(-1, onz * c_out)
+            canvas = jnp.zeros((ony * onx, onz * c_out), feats.dtype)
+            return canvas.at[yx].add(vals, mode="drop")
 
         canvas = _map_samples(one, x, keys, valid)
-        canvas = canvas.reshape(b, onz, ony, onx, c_out)
-        return jnp.transpose(canvas, (0, 2, 3, 1, 4)).reshape(
-            b, ony, onx, onz * c_out)
+        return canvas.reshape(b, ony, onx, onz * c_out)

@@ -193,6 +193,16 @@ def _seg_fill(values: jax.Array, flags: jax.Array) -> jax.Array:
     return out
 
 
+# Big-grid (n_cells > max_voxels) per-pillar reduction strategy: "sort" =
+# one maxpts x 9-payload compaction sort (default); "scatter" = three
+# sorted [maxpts]->[P] scatters. A/B'd on TPU with every output live
+# (scripts/probe_voxelize_live.py, KITTI scale 131k pts): sort 3.2 ms vs
+# scatter 6.3 ms — the narrow per-row scatters are row-latency-bound at
+# 131k rows exactly as CLAUDE.md's op-cost notes predict. Both tails
+# produce identical outputs (tests/test_ops.py large-grid branch).
+_BIG_GRID_TAIL = "sort"
+
+
 def voxelize_points(points: jax.Array, num_valid: jax.Array, *,
                     voxel_size, point_cloud_range, grid_size,
                     max_points_per_voxel: int,
@@ -324,12 +334,11 @@ def voxelize_points(points: jax.Array, num_valid: jax.Array, *,
     point_mean = point_mean.at[:, :3].add(cell_center)
 
     head = is_start & valid_s & seg_keep
-    if n_cells > P:
-        # Per-pillar count/coords/means WITHOUT scatters: the kept-point
-        # count falls out of the scan's count column, then one compaction
-        # sort keyed by pillar id moves segment-start rows to the front —
-        # row p of the sorted payload IS pillar p. The mean columns ride
-        # the same sort (multi-operand, no gathers).
+    if n_cells > P and _BIG_GRID_TAIL == "sort":
+        # Per-pillar count/coords/means via one compaction sort keyed by
+        # pillar id: segment-start rows move to the front — row p of the
+        # sorted payload IS pillar p; the mean columns ride the same sort
+        # (multi-operand, no gathers).
         ckey = jnp.where(head, pillar_id, maxpts + 1)
         sorted_ops = jax.lax.sort(
             (ckey, kept_count.astype(jnp.int32),
@@ -343,6 +352,12 @@ def voxelize_points(points: jax.Array, num_valid: jax.Array, *,
         voxel_mean = jnp.where(
             real, jnp.stack([m[:P] for m in sorted_ops[5:]], axis=-1), 0)
     else:
+        # Scatter tail, shared by both grid regimes: three [maxpts] -> [P]
+        # scatters with genuinely NON-DECREASING indices (point_pillar is
+        # clamped, never sentinel-interleaved, so indices_are_sorted is an
+        # honest promise). Works for n_cells > P because pillar_id was
+        # re-compacted over the kept subset above.
+        inert = valid_s & seg_keep
         num_points = jnp.zeros((P,), dtype=jnp.int32)
         num_points = num_points.at[point_pillar].add(
             keep.astype(jnp.int32), mode="drop", indices_are_sorted=True)
@@ -351,13 +366,15 @@ def voxelize_points(points: jax.Array, num_valid: jax.Array, *,
         # needing unique start indices; dropped pillars' points must be inert
         coords = jnp.zeros((P, 3), dtype=jnp.int32)
         coords = coords.at[point_pillar].max(
-            jnp.where((valid_s & seg_keep)[:, None], zyx, 0), mode="drop",
+            jnp.where(inert[:, None], zyx, 0), mode="drop",
             indices_are_sorted=True)
-        # segment heads carry the pillar mean; unique + sorted scatter-set
+        # only the segment head contributes its pillar's mean; every other
+        # row adds zero, so a sorted scatter-ADD lands exactly one value
+        # per pillar
         voxel_mean = jnp.zeros((P, dim), dtype=points.dtype)
-        voxel_mean = voxel_mean.at[jnp.where(head, pillar_id, P)].set(
-            point_mean, mode="drop", indices_are_sorted=True,
-            unique_indices=True)
+        voxel_mean = voxel_mean.at[point_pillar].add(
+            jnp.where(head[:, None], point_mean, 0), mode="drop",
+            indices_are_sorted=True)
 
     return VoxelizedPoints(points_s, point_pillar, keep, point_mean, zyx,
                            num_points, coords, num_points > 0, voxel_mean)

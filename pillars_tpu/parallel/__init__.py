@@ -11,6 +11,7 @@ axis-name-generic so a DCN data axis composes later.
 from pillars_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
     make_mesh,
+    make_mesh_2d,
     replicated_sharding,
     shard_batch,
 )

@@ -23,6 +23,19 @@ def make_mesh(num_devices: int = 0, axis_name: str = "data",
     return Mesh(np.array(devs), (axis_name,))
 
 
+def make_mesh_2d(data: int, spatial: int,
+                 axis_names: Sequence[str] = ("data", "spatial"),
+                 devices: Optional[Sequence] = None) -> Mesh:
+    """2-D mesh composing batch data-parallelism with BEV-grid spatial
+    model parallelism (parallel/spatial.py). Batch shards over axis 0,
+    canvas/head tensors over axis 1."""
+    devs = list(devices if devices is not None else jax.devices())
+    assert len(devs) >= data * spatial, (
+        f"need {data * spatial} devices, have {len(devs)}")
+    return Mesh(np.array(devs[:data * spatial]).reshape(data, spatial),
+                tuple(axis_names))
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     """Shard the leading (batch) dimension over the mesh."""
     return NamedSharding(mesh, P(axis_name))

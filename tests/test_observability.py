@@ -9,7 +9,6 @@ import numpy as np
 import pytest
 
 from pillars_tpu.train.metrics_log import MetricLogger
-from pillars_tpu.train import stream_metrics as sm
 from pillars_tpu.utils.profiling import StageTimer
 
 
@@ -35,33 +34,6 @@ class TestMetricLogger:
         assert float(ev["ev_3d_50"]) == 0.0
         assert float(ev["ev_3d_75"]) == 50.0
         assert float(ev["ev_average"]) == 42.0
-
-
-class TestStreamMetrics:
-    def test_scalar(self):
-        s = sm.Scalar()
-        s.update(2.0)
-        s.update(4.0)
-        assert s.value == 3.0
-        s.clear()
-        assert s.value == 0.0
-
-    def test_accuracy_ignores_dont_care(self):
-        a = sm.Accuracy(threshold=0.5)
-        labels = np.array([1, 0, -1, 1])
-        scores = np.array([[0.9], [0.2], [0.9], [0.1]])
-        a.update(labels, scores)
-        # cared: idx 0 (correct), 1 (correct), 3 (wrong) -> 2/3
-        assert a.value == pytest.approx(2 / 3)
-
-    def test_precision_recall(self):
-        pr = sm.PrecisionRecall(thresholds=(0.5,))
-        labels = np.array([1, 1, 0, 0])
-        scores = np.array([[0.9], [0.3], [0.8], [0.1]])
-        pr.update(labels, scores)
-        v = pr.value
-        assert v["precision"][0] == pytest.approx(0.5)  # tp=1 fp=1
-        assert v["recall"][0] == pytest.approx(0.5)     # tp=1 fn=1
 
 
 class TestStageTimer:

@@ -445,6 +445,19 @@ class TestVoxelMean:
                          max_points=2048)
         self._check(rng, vc, 400)
 
+    def test_large_grid_scatter_tail(self, rng, monkeypatch):
+        """The A/B'd scatter tail (ops/voxelize.py::_BIG_GRID_TAIL) must
+        produce the same outputs as the default sort tail on big grids —
+        it loses on TPU latency (scripts/probe_voxelize_live.py), not
+        correctness."""
+        from pillars_tpu.config import VoxelConfig
+        from pillars_tpu.ops import voxelize as vox
+
+        monkeypatch.setattr(vox, "_BIG_GRID_TAIL", "scatter")
+        vc = VoxelConfig(voxel_size=(0.02, 0.02, 0.5), max_voxels=256,
+                         max_points=2048)
+        self._check(rng, vc, 400)
+
 
 class TestOverflowCutoff:
     """Reference load_data.py:630-637: the kernel BREAKS the point loop
