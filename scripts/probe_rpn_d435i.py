@@ -101,7 +101,11 @@ def main():
     b1, b2, b3 = fused_rpn_blocks(bank[0], full_vars, mcfg.rpn)
     got = tail.apply(variables, b1, b2, b3, False)
     err = float(jnp.max(jnp.abs(want["box_preds"] - got["box_preds"])))
-    print(f"max |box_preds diff| = {err:.3e}", flush=True)
+    scale = float(jnp.max(jnp.abs(want["box_preds"])))
+    # on hardware both paths run bf16 MXU matmuls with different
+    # accumulation splits, so compare relative to the activation scale
+    print(f"max |box_preds diff| = {err:.3e} (max |want| = {scale:.3e}, "
+          f"rel {err / max(scale, 1e-9):.3e})", flush=True)
     print("done", flush=True)
 
 
