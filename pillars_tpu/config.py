@@ -173,6 +173,11 @@ class RPNConfig:
     # fuse each downsample block into one Pallas kernel on the inference
     # path (TPU backends; requires separable convs + pointwise PFN)
     use_pallas_blocks: bool = False
+    # apply the 1x1 heads per up-branch and sum instead of materializing
+    # the 384-channel concat (mathematically identical, same param tree;
+    # the concat is pure HBM traffic and costs ~1 ms at KITTI scale —
+    # scripts/probe_rpn_tail_variants.py)
+    no_concat_heads: bool = True
     bn_eps: float = 1e-3  # keras BatchNormalization default
     bn_momentum: float = 0.99
 

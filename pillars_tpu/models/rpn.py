@@ -18,8 +18,59 @@ from typing import Dict, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
+from flax.linen.dtypes import promote_dtype
+
 from pillars_tpu.config import ModelConfig
 from pillars_tpu.models.layers import SeparableConv, he_uniform
+
+
+class _SplitHead(nn.Module):
+    """1x1 detection head applied per up-branch without the concat.
+
+    ``conv1x1(concat(u1, u2, u3), W) == sum_i einsum(u_i, W[slice_i])``
+    with W split along its input-channel axis, so this is mathematically
+    identical to the reference's Conv2D-on-concat head (voxelnet.py:600-612)
+    while never materializing the [ny, nx, 384] concat — pure HBM traffic
+    worth ~1 ms/cloud at KITTI scale (scripts/probe_rpn_tail_variants.py:
+    tail 2.27 -> 1.28 ms). The param tree matches nn.Conv(features, (1, 1))
+    exactly, so checkpoints are interchangeable with the concat path."""
+
+    features: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, ups):
+        ctot = sum(u.shape[-1] for u in ups)
+        kernel = self.param("kernel", he_uniform,
+                            (1, 1, ctot, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        ups, kernel, bias = promote_dtype(ups, kernel, bias,
+                                          dtype=self.dtype)
+        acc = None
+        off = 0
+        for u in ups:
+            c = u.shape[-1]
+            term = jnp.einsum("bhwi,io->bhwo", u, kernel[0, 0, off:off + c])
+            acc = term if acc is None else acc + term
+            off += c
+        return acc + bias
+
+
+def _apply_heads(cfg: ModelConfig, x_or_ups, dtype) -> Dict[str, jnp.ndarray]:
+    """The three 1x1 heads (conv_box/conv_cls/conv_dir_cls) over either the
+    concatenated feature map (list of one) or the separate up-branches."""
+    ups = x_or_ups if isinstance(x_or_ups, (list, tuple)) else [x_or_ups]
+    n_anchor = cfg.num_anchors_per_loc
+    num_cls = n_anchor * (cfg.num_class if cfg.encode_background_as_zeros
+                          else cfg.num_class + 1)
+    box = _SplitHead(n_anchor * cfg.box_code_size, dtype=dtype,
+                     name="conv_box")(ups)
+    cls = _SplitHead(num_cls, dtype=dtype, name="conv_cls")(ups)
+    out = {"box_preds": box, "cls_preds": cls}
+    if cfg.postprocess.use_direction_classifier:
+        out["dir_cls_preds"] = _SplitHead(n_anchor * 2, dtype=dtype,
+                                          name="conv_dir_cls")(ups)
+    return out
 
 
 class _Block(nn.Module):
@@ -105,22 +156,9 @@ class RPNTail(nn.Module):
                 _Deconv(rcfg.num_upsample_filters[i], rcfg.upsample_strides[i],
                         rcfg.bn_momentum, rcfg.bn_eps, dtype=self.dtype,
                         name=f"deconv{i + 1}")(b, train))
-        x = jnp.concatenate(ups, axis=-1)
-        n_anchor = self.cfg.num_anchors_per_loc
-        num_cls = n_anchor * (self.cfg.num_class
-                              if self.cfg.encode_background_as_zeros
-                              else self.cfg.num_class + 1)
-        box = nn.Conv(n_anchor * self.cfg.box_code_size, (1, 1), use_bias=True,
-                      kernel_init=he_uniform, dtype=self.dtype,
-                      name="conv_box")(x)
-        cls = nn.Conv(num_cls, (1, 1), use_bias=True, kernel_init=he_uniform,
-                      dtype=self.dtype, name="conv_cls")(x)
-        out = {"box_preds": box, "cls_preds": cls}
-        if self.cfg.postprocess.use_direction_classifier:
-            out["dir_cls_preds"] = nn.Conv(
-                n_anchor * 2, (1, 1), use_bias=True, kernel_init=he_uniform,
-                dtype=self.dtype, name="conv_dir_cls")(x)
-        return out
+        if not rcfg.no_concat_heads:
+            ups = [jnp.concatenate(ups, axis=-1)]
+        return _apply_heads(self.cfg, ups, self.dtype)
 
 
 class RPN(nn.Module):
@@ -147,20 +185,6 @@ class RPN(nn.Module):
                 Deconv(rcfg.num_upsample_filters[i], rcfg.upsample_strides[i],
                        rcfg.bn_momentum, rcfg.bn_eps, dtype=self.dtype,
                        name=f"deconv{i + 1}")(x, train))
-        x = jnp.concatenate(ups, axis=-1)  # [B, ny, nx, 384]
-
-        n_anchor = self.cfg.num_anchors_per_loc
-        num_cls = n_anchor * (self.cfg.num_class
-                              if self.cfg.encode_background_as_zeros
-                              else self.cfg.num_class + 1)
-        box = nn.Conv(n_anchor * self.cfg.box_code_size, (1, 1), use_bias=True,
-                      kernel_init=he_uniform, dtype=self.dtype,
-                      name="conv_box")(x)
-        cls = nn.Conv(num_cls, (1, 1), use_bias=True, kernel_init=he_uniform,
-                      dtype=self.dtype, name="conv_cls")(x)
-        out = {"box_preds": box, "cls_preds": cls}
-        if self.cfg.postprocess.use_direction_classifier:
-            out["dir_cls_preds"] = nn.Conv(
-                n_anchor * 2, (1, 1), use_bias=True, kernel_init=he_uniform,
-                dtype=self.dtype, name="conv_dir_cls")(x)
-        return out
+        if not rcfg.no_concat_heads:
+            ups = [jnp.concatenate(ups, axis=-1)]  # [B, ny, nx, 384]
+        return _apply_heads(self.cfg, ups, self.dtype)

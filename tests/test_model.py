@@ -53,6 +53,35 @@ class TestForward:
         assert preds["dir_cls_preds"].shape == (2, ny, nx, 4)
         assert np.all(np.isfinite(np.asarray(preds["box_preds"])))
 
+    def test_split_heads_match_concat_heads(self, rng):
+        """rpn.no_concat_heads (models/rpn.py::_SplitHead) is a pure
+        formulation change: conv1x1(concat(ups), W) == sum of per-branch
+        einsums with W split on input channels. Same params must give the
+        same heads either way (the concat never materializes on the fast
+        path — ~1 ms/cloud at KITTI scale, probe_rpn_tail_variants.py)."""
+        import jax.tree_util as tu
+
+        from pillars_tpu.config import Config
+        from pillars_tpu.models.rpn import RPN
+
+        cfg = Config.default()
+        x = jnp.asarray(rng.randn(1, 64, 80,
+                                  cfg.model.pfn.num_filters).astype(
+                                      np.float32))
+        split = RPN(cfg.model)
+        v = split.init(jax.random.PRNGKey(0), x, False)
+        cat = RPN(cfg.override("model.rpn.no_concat_heads", False).model)
+        # identical param tree -> checkpoints interchange between paths
+        assert (tu.tree_structure(v)
+                == tu.tree_structure(cat.init(jax.random.PRNGKey(0), x,
+                                              False)))
+        a = split.apply(v, x, False)
+        b = cat.apply(v, x, False)
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                       rtol=1e-4, atol=1e-4, err_msg=k)
+
     def test_batch_stats_update_in_train(self, det_and_vars, rng):
         det, variables = det_and_vars
         pts, n = make_cloud(rng)
