@@ -153,6 +153,9 @@ class MiddleConfig:
     downsample_kernels: Tuple[Tuple[int, int, int], ...] = ()
     # static active-voxel cap after each downsample (0 -> voxel.max_voxels)
     max_active: int = 0
+    # inference-path fused VMEM-resident gather-conv
+    # (ops/sparse_conv.py::gather_conv_pallas); TPU backends only
+    use_pallas_gather: bool = False
 
 
 @dataclass

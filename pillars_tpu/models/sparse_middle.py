@@ -64,6 +64,7 @@ class _SparseConvLayer(nn.Module):
     bn_eps: float
     dtype: Optional[jnp.dtype] = None
     center_tap: int = -1  # identity tap (submanifold): skip its gather
+    use_pallas: bool = False  # fused VMEM gather-conv (inference only)
 
     @nn.compact
     def __call__(self, x, nbr_global, valid, train: bool):
@@ -71,9 +72,10 @@ class _SparseConvLayer(nn.Module):
         (sentinel R), valid [Ro] output-row mask."""
         cin = x.shape[-1]
         w = self.param("kernel", _he_taps, (self.taps, cin, self.features))
-        y = sp.gather_conv(x.astype(self.dtype or x.dtype), nbr_global,
-                           w.astype(self.dtype or x.dtype),
-                           center_tap=self.center_tap)
+        conv = (sp.gather_conv_pallas if self.use_pallas and not train
+                else sp.gather_conv)
+        y = conv(x.astype(self.dtype or x.dtype), nbr_global,
+                 w.astype(self.dtype or x.dtype))
         bn = _PointwiseMaskedBN(momentum=self.bn_momentum,
                                 epsilon=self.bn_eps, dtype=self.dtype,
                                 name="bn")
@@ -121,6 +123,8 @@ class SparseMiddleExtractor(nn.Module):
 
         x = features.reshape(b * V, -1)
         cap = V  # rows per sample at the current stage
+        use_pallas = (m.use_pallas_gather
+                      and jax.default_backend() not in ("cpu", "gpu"))
 
         def fold_rulebook(nbr, cap):
             """per-sample [B, Vo, K] (sentinel=cap) -> global rows
@@ -143,6 +147,7 @@ class SparseMiddleExtractor(nn.Module):
                 x = _SparseConvLayer(
                     f, k_taps, self.cfg.rpn.bn_momentum,
                     self.cfg.rpn.bn_eps, dtype=self.dtype, center_tap=13,
+                    use_pallas=use_pallas,
                     name=f"subm{i}_{j}")(x, nbr_g, vflat, train)
 
             stride, kernel = strides[i], kernels[i]
@@ -163,6 +168,7 @@ class SparseMiddleExtractor(nn.Module):
             x = _SparseConvLayer(
                 out_f, int(np.prod(kernel)), self.cfg.rpn.bn_momentum,
                 self.cfg.rpn.bn_eps, dtype=self.dtype,
+                use_pallas=use_pallas,
                 name=f"down{i}")(x, nbr_g, ovalid.reshape(-1), train)
             keys, valid, dims, cap = okeys, ovalid, odims, max_active
 
