@@ -44,8 +44,10 @@ class _SplitHead(nn.Module):
         kernel = self.param("kernel", he_uniform,
                             (1, 1, ctot, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        ups, kernel, bias = promote_dtype(ups, kernel, bias,
-                                          dtype=self.dtype)
+        # unpack the branches as separate args: promote_dtype would
+        # jnp.asarray-STACK a list, crashing on mixed branch widths
+        *ups, kernel, bias = promote_dtype(*ups, kernel, bias,
+                                           dtype=self.dtype)
         acc = None
         off = 0
         for u in ups:
@@ -56,10 +58,9 @@ class _SplitHead(nn.Module):
         return acc + bias
 
 
-def _apply_heads(cfg: ModelConfig, x_or_ups, dtype) -> Dict[str, jnp.ndarray]:
-    """The three 1x1 heads (conv_box/conv_cls/conv_dir_cls) over either the
-    concatenated feature map (list of one) or the separate up-branches."""
-    ups = x_or_ups if isinstance(x_or_ups, (list, tuple)) else [x_or_ups]
+def _apply_heads(cfg: ModelConfig, ups, dtype) -> Dict[str, jnp.ndarray]:
+    """The three 1x1 heads (conv_box/conv_cls/conv_dir_cls) over the list
+    of up-branches (a one-element list when the concat materialized)."""
     n_anchor = cfg.num_anchors_per_loc
     num_cls = n_anchor * (cfg.num_class if cfg.encode_background_as_zeros
                           else cfg.num_class + 1)

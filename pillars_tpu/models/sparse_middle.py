@@ -63,7 +63,6 @@ class _SparseConvLayer(nn.Module):
     bn_momentum: float
     bn_eps: float
     dtype: Optional[jnp.dtype] = None
-    center_tap: int = -1  # identity tap (submanifold): skip its gather
     use_pallas: bool = False  # fused VMEM gather-conv (inference only)
 
     @nn.compact
@@ -146,7 +145,7 @@ class SparseMiddleExtractor(nn.Module):
             for j in range(n_subm):
                 x = _SparseConvLayer(
                     f, k_taps, self.cfg.rpn.bn_momentum,
-                    self.cfg.rpn.bn_eps, dtype=self.dtype, center_tap=13,
+                    self.cfg.rpn.bn_eps, dtype=self.dtype,
                     use_pallas=use_pallas,
                     name=f"subm{i}_{j}")(x, nbr_g, vflat, train)
 

@@ -388,16 +388,13 @@ def strided_rulebook(keys: jax.Array, valid: jax.Array,
 
 
 def gather_conv(features: jax.Array, nbr: jax.Array,
-                weights: jax.Array, center_tap: int = -1) -> jax.Array:
+                weights: jax.Array) -> jax.Array:
     """Sparse conv compute: out[v] = sum_k feats[nbr[v, k]] @ W[k].
 
     features [V, Cin], nbr [Vo, K] with sentinel V, weights [K, Cin, Cout].
-    One zero guard row makes the sentinel inert; each tap is a flat row
-    gather (1-D global indices) + an MXU matmul — the gathers are the only
-    row-addressed ops in the sparse path. ``center_tap`` is accepted for
-    API compatibility but IGNORED: the fused tap-major form below gathers
-    the identity tap like any other (skipping it would split the single
-    fused gather into two launches, which measured slower).
+    One zero guard row makes the sentinel inert. A skip-the-identity-tap
+    optimization for submanifold convs was measured and rejected: it would
+    split the single fused gather into two launches, which ran slower.
     """
     V, cin = features.shape
     K = nbr.shape[1]
@@ -406,9 +403,7 @@ def gather_conv(features: jax.Array, nbr: jax.Array,
     # ONE fused gather (tap-major index vector) + a batched einsum beats
     # K separate gather+matmul pairs 1.8x at SECOND scale (V=20k, C=64:
     # 0.98 vs 1.78 ms/layer, scripts/probe_gather_conv.py) — fewer op
-    # launches, and the contraction runs as one MXU batch. center_tap is
-    # kept for API compatibility; the fused form gathers it like any tap.
-    del center_tap
+    # launches, and the contraction runs as one MXU batch.
     g = jnp.take(ext, nbr.T.reshape(-1), axis=0).reshape(K, -1, cin)
     return jnp.einsum("kvc,kcd->vd", g, weights)
 
@@ -430,17 +425,32 @@ def gather_conv_pallas(features: jax.Array, nbr: jax.Array,
     behind ``middle.use_pallas_gather`` (off by default until the TPU
     measurement lands); numerics pinned against gather_conv in
     tests/test_sparse_conv.py (interpret mode).
+
+    Falls back to the XLA :func:`gather_conv` when the resident working
+    set (table + weights + per-tile buffers) would not fit VMEM — the
+    batch folds into the row axis upstream (models/sparse_middle.py), so
+    B > 1 eval at full-KITTI scale exceeds the ~16 MB budget.
     """
     from jax.experimental import pallas as pl
 
     V, cin = features.shape
     Vo, K = nbr.shape
     cout = weights.shape[2]
+    itemsize = jnp.dtype(features.dtype).itemsize
+    resident = ((V + 9) * cin * itemsize            # feature table
+                + K * cin * cout * itemsize          # tap weights
+                + tile * K * 4                       # nbr tile (int32)
+                + tile * K * cin * itemsize          # gathered rows
+                + tile * cout * 4)                   # f32 accumulator
+    if resident > 12 * 2**20:  # leave headroom under the ~16 MB VMEM
+        return gather_conv(features, nbr, weights)
     ext = jnp.concatenate(
         [features, jnp.zeros((1, cin), features.dtype)], axis=0)
-    # pad the table to a sublane multiple and the output rows to a tile
-    # multiple; padded nbr rows point at the zero guard row -> output 0
-    ext = jnp.pad(ext, ((0, (-ext.shape[0]) % 8), (0, 0)))
+    # pad the table rows to the dtype's sublane tile (f32 8, bf16 16,
+    # int8 32) and the output rows to a tile multiple; padded nbr rows
+    # point at the zero guard row -> output 0
+    sublane = max(8, 32 // itemsize)
+    ext = jnp.pad(ext, ((0, (-ext.shape[0]) % sublane), (0, 0)))
     pad_rows = (-Vo) % tile
     nbr = jnp.pad(nbr, ((0, pad_rows), (0, 0)), constant_values=V)
 

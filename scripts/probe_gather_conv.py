@@ -68,7 +68,7 @@ def main():
 
     def v1(carry, op):
         f, nb = op
-        y = sp.gather_conv(f, nb, w, center_tap=13)
+        y = sp.gather_conv(f, nb, w)
         return carry + jnp.sum(y[0]), None
 
     timed("V1 27 gathers+matmuls (current)", v1, (feats_b, nbr_b), it, sync)
@@ -86,7 +86,7 @@ def main():
 
     def v3(carry, op):
         f, nb = op
-        y = sp.gather_conv(f.astype(jnp.bfloat16), nb, wb, center_tap=13)
+        y = sp.gather_conv(f.astype(jnp.bfloat16), nb, wb)
         return carry + jnp.sum(y[0].astype(jnp.float32)), None
 
     timed("V3 current, bf16", v3, (feats_b, nbr_b), it, sync)

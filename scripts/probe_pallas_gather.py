@@ -132,11 +132,18 @@ def main():
     if args.interpret:
         return
 
-    # device timing (scan-inside-jit clock, CLAUDE.md methodology)
+    # device timing (scan-inside-jit clock, CLAUDE.md methodology):
+    # warm the sync op first, then min-of-3 — a cold first dispatch
+    # includes trace+compile and would over-correct every ms/iter below
     dummy = jnp.zeros((1,), jnp.float32)
-    sync0 = time.perf_counter()
-    jax.device_get(dummy + 1)
-    sync = time.perf_counter() - sync0
+    basef = jax.jit(lambda x: x + 1)
+    jax.device_get(basef(dummy))
+    syncs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.device_get(basef(dummy))
+        syncs.append(time.perf_counter() - t0)
+    sync = min(syncs)
     print(f"sync baseline {sync*1e3:.1f} ms")
 
     ops = (feats[None], nbr[None], w[None])

@@ -82,6 +82,30 @@ class TestForward:
             np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
                                        rtol=1e-4, atol=1e-4, err_msg=k)
 
+    def test_split_heads_mixed_branch_widths(self, rng):
+        """Non-uniform num_upsample_filters must work on the split-head
+        path (promote_dtype is given the branches as separate args — a
+        list would be jnp.asarray-STACKED and crash on mixed widths)."""
+        from pillars_tpu.config import Config
+        from pillars_tpu.models.rpn import RPN
+
+        cfg = Config.default().override("model.rpn.num_upsample_filters",
+                                        (64, 128, 128))
+        x = jnp.asarray(rng.randn(1, 64, 80,
+                                  cfg.model.pfn.num_filters).astype(
+                                      np.float32))
+        net = RPN(cfg.model)
+        v = net.init(jax.random.PRNGKey(0), x, False)
+        out = net.apply(v, x, False)
+        assert out["box_preds"].shape == (1, 64, 80,
+                                          2 * cfg.model.box_code_size)
+        cat = RPN(cfg.override("model.rpn.no_concat_heads", False).model)
+        ref = cat.apply(v, x, False)
+        for k in out:
+            np.testing.assert_allclose(np.asarray(out[k]),
+                                       np.asarray(ref[k]),
+                                       rtol=1e-4, atol=1e-4, err_msg=k)
+
     def test_batch_stats_update_in_train(self, det_and_vars, rng):
         det, variables = det_and_vars
         pts, n = make_cloud(rng)
