@@ -36,7 +36,11 @@ def _build() -> bool:
 
 
 def load() -> Optional[ctypes.CDLL]:
-    """Load (building if needed) the native library, or None."""
+    """Load (building if needed) the native library, or None.
+
+    A stale pre-existing .so that predates a symbol (AttributeError at
+    bind time) triggers ONE rebuild; any remaining failure degrades to
+    None so callers fall back to the NumPy paths."""
     global _LIB, _TRIED
     with _LOCK:
         if _LIB is not None or _TRIED:
@@ -45,32 +49,42 @@ def load() -> Optional[ctypes.CDLL]:
         if not _SO.exists() and not _build():
             return None
         try:
-            lib = ctypes.CDLL(str(_SO))
-            lib.rotated_overlap_matrix.argtypes = [
-                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
-                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
-                ctypes.c_int, ctypes.POINTER(ctypes.c_float)]
-            lib.rotated_overlap_matrix.restype = None
-            lib.nms_standup.argtypes = [
-                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
-                ctypes.c_float, ctypes.c_int64,
-                ctypes.POINTER(ctypes.c_int64)]
-            lib.nms_standup.restype = ctypes.c_int64
-            _d = ctypes.POINTER(ctypes.c_double)
-            _i = ctypes.POINTER(ctypes.c_int64)
-            lib.eval_match_scores_batch.argtypes = [
-                _d, _i, _d, _i, _d, _i, _i, _i,
-                ctypes.c_int64, ctypes.c_int, ctypes.c_double, _d, _i]
-            lib.eval_match_scores_batch.restype = None
-            lib.eval_fused_statistics_batch.argtypes = [
-                _d, _i, _d, _i, _d, _i, _i, _i, _d, _i,
-                ctypes.c_int64, ctypes.c_int, ctypes.c_double,
-                _d, ctypes.c_int64, ctypes.c_int, _d]
-            lib.eval_fused_statistics_batch.restype = None
-            _LIB = lib
-        except OSError:
+            _LIB = _bind(ctypes.CDLL(str(_SO)))
+        except (OSError, AttributeError):
             _LIB = None
+            if _build():
+                try:
+                    _LIB = _bind(ctypes.CDLL(str(_SO)))
+                except (OSError, AttributeError):
+                    _LIB = None
         return _LIB
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    """Declare every ctypes signature. Raises AttributeError if the .so
+    is missing a symbol (stale build from an older csrc/)."""
+    lib.rotated_overlap_matrix.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_float)]
+    lib.rotated_overlap_matrix.restype = None
+    lib.nms_standup.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.c_float, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64)]
+    lib.nms_standup.restype = ctypes.c_int64
+    _d = ctypes.POINTER(ctypes.c_double)
+    _i = ctypes.POINTER(ctypes.c_int64)
+    lib.eval_match_scores_batch.argtypes = [
+        _d, _i, _d, _i, _d, _i, _i, _i,
+        ctypes.c_int64, ctypes.c_int, ctypes.c_double, _d, _i]
+    lib.eval_match_scores_batch.restype = None
+    lib.eval_fused_statistics_batch.argtypes = [
+        _d, _i, _d, _i, _d, _i, _i, _i, _d, _i,
+        ctypes.c_int64, ctypes.c_int, ctypes.c_double,
+        _d, ctypes.c_int64, ctypes.c_int, _d]
+    lib.eval_fused_statistics_batch.restype = None
+    return lib
 
 
 def available() -> bool:
@@ -183,11 +197,20 @@ class EvalFrames:
 
 
 def _concat_flat(arrays, width, dtype=np.float64):
+    """Concatenate per-frame row arrays into one flat buffer, validating
+    the row width the C++ side indexes with a fixed stride (e.g.
+    f.dt[j*6+5]) — a wrong column count must fail fast here, not silently
+    misalign the native matcher."""
     if not arrays:
         return np.zeros(0, dtype)
-    flat = [np.ascontiguousarray(a, dtype).reshape(-1) for a in arrays]
-    out = np.concatenate(flat) if flat else np.zeros(0, dtype)
-    return np.ascontiguousarray(out)
+    flat = []
+    for a in arrays:
+        a = np.ascontiguousarray(a, dtype)
+        assert a.size == 0 or (a.ndim == 2 and a.shape[1] == width) \
+            or (width == 1 and a.ndim == 1), (
+            f"expected [n, {width}] rows, got shape {a.shape}")
+        flat.append(a.reshape(-1))
+    return np.ascontiguousarray(np.concatenate(flat))
 
 
 def flatten_overlaps(overlaps):

@@ -197,6 +197,8 @@ class Trainer:
                 batch_stats=batch_stats or self.state.batch_stats)
         self._start_epoch = 0
         self._best_score = 0.0
+        # epoch whose eval/gating was interrupted (resume re-runs it)
+        self._pending_eval_epoch: Optional[int] = None
 
     # ------------------------------------------------------------------
     def resume(self, checkpoint_path: str) -> int:
@@ -218,6 +220,12 @@ class Trainer:
         self._start_epoch = int(extra.get("epoch", -1)) + 1
         self._best_score = float(
             extra.get("best_score", extra.get("score", 0.0)))
+        # the pre-eval temp checkpoint carries evaluated=False; if the run
+        # died DURING the eval, re-run that epoch's eval + gating first so
+        # the resumed run reproduces the uninterrupted gating decisions
+        self._pending_eval_epoch = (self._start_epoch - 1
+                                    if not extra.get("evaluated", True)
+                                    else None)
         return int(jax.device_get(self.state.step))
 
     # ------------------------------------------------------------------
@@ -255,6 +263,12 @@ class Trainer:
         else:
             _put = jax.device_put
 
+        # an interrupted epoch-eval restored by resume(): re-run it first
+        if self._pending_eval_epoch is not None and self.evaluator is not None:
+            best_score = self._eval_and_gate(
+                self._pending_eval_epoch, best_score, eval_max_samples)
+            self._pending_eval_epoch = None
+
         fixed_batch = None
         if replay_batch_file:
             with open(replay_batch_file, "rb") as f:
@@ -290,33 +304,47 @@ class Trainer:
             print(f"[train] epoch {epoch} done in {time.time()-t_epoch:.1f}s")
 
             if self.evaluator is not None:
-                ckpt.save_checkpoint(
-                    os.path.join(self.dirs["checkpoints"], "weights_temp.pkl"),
-                    self.state,
-                    extra={"epoch": epoch, "best_score": best_score})
-                result, bev, d3, aos, score = self.evaluator.evaluate(
-                    self.variables(), max_samples=eval_max_samples,
-                    save_path=os.path.join(self.dirs["results"],
-                                           f"result_{epoch}.pkl"))
-                self.logger.log_eval(step_count, d3, aos, bev, score)
-                print(f"[eval] epoch {epoch} score {score:.2f} "
-                      f"(best {best_score:.2f})")
-                with open(os.path.join(self.dirs["results"],
-                                       f"model_result_{epoch}.txt"), "w") as f:
-                    f.write(result)
-                if score > best_score:
-                    best_score = score
-                    ckpt.save_checkpoint(
-                        os.path.join(self.dirs["checkpoints"],
-                                     f"weights_{epoch}.pkl"),
-                        self.state, extra={"score": score, "epoch": epoch,
-                                           "best_score": best_score})
-                    # refresh the temp ckpt's gate so a resume after this
-                    # point reproduces the uninterrupted gating decisions
-                    ckpt.save_checkpoint(
-                        os.path.join(self.dirs["checkpoints"],
-                                     "weights_temp.pkl"),
-                        self.state,
-                        extra={"epoch": epoch, "best_score": best_score})
+                best_score = self._eval_and_gate(epoch, best_score,
+                                                 eval_max_samples)
         self._best_score = best_score
+        return best_score
+
+    # ------------------------------------------------------------------
+    def _eval_and_gate(self, epoch: int, best_score: float,
+                       eval_max_samples: Optional[int]) -> float:
+        """Per-epoch eval + score-gated checkpoint retention (reference
+        train.py:403-440). The pre-eval temp checkpoint carries
+        evaluated=False so a kill DURING the eval resumes by re-running it
+        (resume()); after gating the temp is always rewritten with
+        evaluated=True and the updated gate."""
+        step_count = int(jax.device_get(self.state.step))
+        ckpt.save_checkpoint(
+            os.path.join(self.dirs["checkpoints"], "weights_temp.pkl"),
+            self.state,
+            extra={"epoch": epoch, "best_score": best_score,
+                   "evaluated": False})
+        result, bev, d3, aos, score = self.evaluator.evaluate(
+            self.variables(), max_samples=eval_max_samples,
+            save_path=os.path.join(self.dirs["results"],
+                                   f"result_{epoch}.pkl"))
+        self.logger.log_eval(step_count, d3, aos, bev, score)
+        print(f"[eval] epoch {epoch} score {score:.2f} "
+              f"(best {best_score:.2f})")
+        with open(os.path.join(self.dirs["results"],
+                               f"model_result_{epoch}.txt"), "w") as f:
+            f.write(result)
+        if score > best_score:
+            best_score = score
+            ckpt.save_checkpoint(
+                os.path.join(self.dirs["checkpoints"],
+                             f"weights_{epoch}.pkl"),
+                self.state, extra={"score": score, "epoch": epoch,
+                                   "best_score": best_score})
+        # refresh the temp ckpt so a resume after this point reproduces
+        # the uninterrupted gating decisions (and clears evaluated=False)
+        ckpt.save_checkpoint(
+            os.path.join(self.dirs["checkpoints"], "weights_temp.pkl"),
+            self.state,
+            extra={"epoch": epoch, "best_score": best_score,
+                   "evaluated": True})
         return best_score

@@ -87,7 +87,21 @@ def device_time_ms(stage_fn, args, iters: int = 20) -> float:
     @jax.jit
     def run(*a):
         def body(i, acc):
-            return acc + scalarize(stage_fn(*a))
+            # thread the carry into the stage INPUT: a loop-invariant body
+            # gets hoisted by XLA's while-loop LICM and the clock would
+            # report ~total/iters of one execution. Adding acc*0 to the
+            # first float leaf makes each iteration data-depend on the
+            # previous without changing the math.
+            leaves, treedef = jax.tree_util.tree_flatten(a)
+            for k, l in enumerate(leaves):
+                if (hasattr(l, "dtype")
+                        and jnp.issubdtype(l.dtype, jnp.number)):
+                    leaves = (leaves[:k]
+                              + [l + acc.astype(l.dtype) * 0]
+                              + leaves[k + 1:])
+                    break
+            ap = jax.tree_util.tree_unflatten(treedef, leaves)
+            return acc + scalarize(stage_fn(*ap))
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 
     @jax.jit

@@ -161,6 +161,23 @@ class TestCheckpoint:
         ckpt.save_checkpoint(path, full)
         t.resume(path)
         assert t._start_epoch == 0 and t._best_score == 0.0
+        assert t._pending_eval_epoch is None
+
+        # a kill DURING epoch 4's eval (temp saved pre-eval with
+        # evaluated=False) must schedule that epoch's eval for re-run so
+        # gating decisions match the uninterrupted run
+        ckpt.save_checkpoint(path, full,
+                             extra={"epoch": 4, "best_score": 37.5,
+                                    "evaluated": False})
+        t.resume(path)
+        assert t._start_epoch == 5
+        assert t._pending_eval_epoch == 4
+        # ...and a post-eval temp clears the pending flag again
+        ckpt.save_checkpoint(path, full,
+                             extra={"epoch": 4, "best_score": 40.0,
+                                    "evaluated": True})
+        t.resume(path)
+        assert t._pending_eval_epoch is None and t._best_score == 40.0
 
 
 class TestMailbox:
