@@ -153,9 +153,12 @@ class MiddleConfig:
     downsample_kernels: Tuple[Tuple[int, int, int], ...] = ()
     # static active-voxel cap after each downsample (0 -> voxel.max_voxels)
     max_active: int = 0
-    # inference-path fused VMEM-resident gather-conv
-    # (ops/sparse_conv.py::gather_conv_pallas); TPU backends only
-    use_pallas_gather: bool = False
+    # NOTE: a fused VMEM-resident Pallas gather-conv was designed, built
+    # and REMOVED 2026-08-18 — Mosaic cannot express a table row-gather
+    # on this toolchain (gathers must be same-shape take-along-axis, and
+    # tpu.dynamic_gather only sources ONE vreg along the gather axis).
+    # The XLA fused gather in ops/sparse_conv.py::gather_conv is the
+    # measured keeper; full ledger in docs/PERFORMANCE.md.
 
 
 @dataclass

@@ -63,7 +63,6 @@ class _SparseConvLayer(nn.Module):
     bn_momentum: float
     bn_eps: float
     dtype: Optional[jnp.dtype] = None
-    use_pallas: bool = False  # fused VMEM gather-conv (inference only)
 
     @nn.compact
     def __call__(self, x, nbr_global, valid, train: bool):
@@ -71,10 +70,8 @@ class _SparseConvLayer(nn.Module):
         (sentinel R), valid [Ro] output-row mask."""
         cin = x.shape[-1]
         w = self.param("kernel", _he_taps, (self.taps, cin, self.features))
-        conv = (sp.gather_conv_pallas if self.use_pallas and not train
-                else sp.gather_conv)
-        y = conv(x.astype(self.dtype or x.dtype), nbr_global,
-                 w.astype(self.dtype or x.dtype))
+        y = sp.gather_conv(x.astype(self.dtype or x.dtype), nbr_global,
+                           w.astype(self.dtype or x.dtype))
         bn = _PointwiseMaskedBN(momentum=self.bn_momentum,
                                 epsilon=self.bn_eps, dtype=self.dtype,
                                 name="bn")
@@ -122,8 +119,6 @@ class SparseMiddleExtractor(nn.Module):
 
         x = features.reshape(b * V, -1)
         cap = V  # rows per sample at the current stage
-        use_pallas = (m.use_pallas_gather
-                      and jax.default_backend() not in ("cpu", "gpu"))
 
         def fold_rulebook(nbr, cap):
             """per-sample [B, Vo, K] (sentinel=cap) -> global rows
@@ -146,7 +141,6 @@ class SparseMiddleExtractor(nn.Module):
                 x = _SparseConvLayer(
                     f, k_taps, self.cfg.rpn.bn_momentum,
                     self.cfg.rpn.bn_eps, dtype=self.dtype,
-                    use_pallas=use_pallas,
                     name=f"subm{i}_{j}")(x, nbr_g, vflat, train)
 
             stride, kernel = strides[i], kernels[i]
@@ -167,7 +161,6 @@ class SparseMiddleExtractor(nn.Module):
             x = _SparseConvLayer(
                 out_f, int(np.prod(kernel)), self.cfg.rpn.bn_momentum,
                 self.cfg.rpn.bn_eps, dtype=self.dtype,
-                use_pallas=use_pallas,
                 name=f"down{i}")(x, nbr_g, ovalid.reshape(-1), train)
             keys, valid, dims, cap = okeys, ovalid, odims, max_active
 

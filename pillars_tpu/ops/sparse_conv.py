@@ -408,70 +408,3 @@ def gather_conv(features: jax.Array, nbr: jax.Array,
     return jnp.einsum("kvc,kcd->vd", g, weights)
 
 
-def gather_conv_pallas(features: jax.Array, nbr: jax.Array,
-                       weights: jax.Array, tile: int = 512,
-                       interpret: bool = False) -> jax.Array:
-    """Fused VMEM-resident gather-conv (Pallas; inference path).
-
-    Same contract as :func:`gather_conv`. The XLA form materializes the
-    gathered [K, Vo, Cin] tensor in HBM (~138 MB f32 at V=20k, K=27) and
-    re-reads it for the einsum; this kernel keeps the whole [V, Cin]
-    feature table resident in VMEM (V=20k x C=64 f32 = 5 MB) and gathers
-    each output tile's rows directly from VMEM, so the intermediate never
-    touches HBM. Per grid step: take [tile*K] rows from the table, one
-    batched dot against [K, Cin, Cout], accumulate over taps in f32.
-
-    Timing A/B vs the XLA form: scripts/probe_pallas_gather.py. Gated
-    behind ``middle.use_pallas_gather`` (off by default until the TPU
-    measurement lands); numerics pinned against gather_conv in
-    tests/test_sparse_conv.py (interpret mode).
-
-    Falls back to the XLA :func:`gather_conv` when the resident working
-    set (table + weights + per-tile buffers) would not fit VMEM — the
-    batch folds into the row axis upstream (models/sparse_middle.py), so
-    B > 1 eval at full-KITTI scale exceeds the ~16 MB budget.
-    """
-    from jax.experimental import pallas as pl
-
-    V, cin = features.shape
-    Vo, K = nbr.shape
-    cout = weights.shape[2]
-    itemsize = jnp.dtype(features.dtype).itemsize
-    resident = ((V + 9) * cin * itemsize            # feature table
-                + K * cin * cout * itemsize          # tap weights
-                + tile * K * 4                       # nbr tile (int32)
-                + tile * K * cin * itemsize          # gathered rows
-                + tile * cout * 4)                   # f32 accumulator
-    if resident > 12 * 2**20:  # leave headroom under the ~16 MB VMEM
-        return gather_conv(features, nbr, weights)
-    ext = jnp.concatenate(
-        [features, jnp.zeros((1, cin), features.dtype)], axis=0)
-    # pad the table rows to the dtype's sublane tile (f32 8, bf16 16,
-    # int8 32) and the output rows to a tile multiple; padded nbr rows
-    # point at the zero guard row -> output 0
-    sublane = max(8, 32 // itemsize)
-    ext = jnp.pad(ext, ((0, (-ext.shape[0]) % sublane), (0, 0)))
-    pad_rows = (-Vo) % tile
-    nbr = jnp.pad(nbr, ((0, pad_rows), (0, 0)), constant_values=V)
-
-    def kern(f_ref, nbr_ref, w_ref, o_ref):
-        idx = nbr_ref[...].T.reshape(-1)  # tap-major [K*tile]
-        g = jnp.take(f_ref[...], idx, axis=0).reshape(K, tile, cin)
-        o_ref[...] = jax.lax.dot_general(
-            g, w_ref[...], (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32).sum(0).astype(o_ref.dtype)
-
-    out = pl.pallas_call(
-        kern,
-        grid=((Vo + pad_rows) // tile,),
-        in_specs=[
-            pl.BlockSpec((ext.shape[0], cin), lambda i: (0, 0)),
-            pl.BlockSpec((tile, K), lambda i: (i, 0)),
-            pl.BlockSpec((K, cin, cout), lambda i: (0, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((tile, cout), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((Vo + pad_rows, cout),
-                                       features.dtype),
-        interpret=interpret,
-    )(ext, nbr, weights)
-    return out[:Vo]

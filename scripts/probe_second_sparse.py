@@ -45,15 +45,11 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--npts", type=int, default=100000)
     ap.add_argument("--bf16", action="store_true")
-    ap.add_argument("--pallas-gather", action="store_true",
-                    help="middle.use_pallas_gather=True (gather_conv_pallas)")
     args = ap.parse_args()
 
     cfg = Config.from_yaml("configs/kitti_second.yaml")
     if args.bf16:
         cfg = cfg.override("runtime.compute_dtype", "bfloat16")
-    if args.pallas_gather:
-        cfg = cfg.override("model.middle.use_pallas_gather", True)
     det = PillarsDetector(cfg)
     variables = det.init(jax.random.PRNGKey(0), batch_size=1)
     thr = cfg.eval_input.anchor_area_threshold

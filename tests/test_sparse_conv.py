@@ -392,41 +392,3 @@ class TestSparseMiddleExtractor:
         _, ny, nx = cfg.model.feature_map_size
         assert preds["cls_preds"].shape[1:3] == (ny, nx)
         assert np.all(np.isfinite(np.asarray(preds["box_preds"])))
-
-
-class TestGatherConvPallas:
-    def test_matches_xla_gather_conv(self, rng):
-        """ops/sparse_conv.py::gather_conv_pallas (fused VMEM-resident
-        gather-conv, middle.use_pallas_gather) must equal the XLA
-        gather_conv bit-for-bit-ish, including sentinel rows, non-tile-
-        multiple row counts, and bf16 inputs (interpret mode on CPU)."""
-        import jax.numpy as jnp
-
-        for V, Vo, C, K, dtype in ((700, 700, 64, 27, np.float32),
-                                   (512, 300, 32, 8, np.float32),
-                                   (256, 256, 64, 27, np.float32)):
-            feats = rng.randn(V, C).astype(dtype)
-            nbr = rng.randint(0, V, size=(Vo, K)).astype(np.int32)
-            nbr[rng.rand(Vo, K) > 0.7] = V  # sentinel
-            w = (rng.randn(K, C, C) * 0.05).astype(dtype)
-            want = np.asarray(sp.gather_conv(
-                jnp.asarray(feats), jnp.asarray(nbr), jnp.asarray(w)))
-            got = np.asarray(sp.gather_conv_pallas(
-                jnp.asarray(feats), jnp.asarray(nbr), jnp.asarray(w),
-                tile=256, interpret=True))
-            assert got.shape == want.shape
-            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
-
-    def test_bf16(self, rng):
-        import jax.numpy as jnp
-
-        V, Vo, C, K = 256, 200, 32, 9
-        feats = jnp.asarray(rng.randn(V, C), jnp.bfloat16)
-        nbr_np = rng.randint(0, V, size=(Vo, K)).astype(np.int32)
-        nbr_np[rng.rand(Vo, K) > 0.6] = V
-        nbr = jnp.asarray(nbr_np)
-        w = jnp.asarray(rng.randn(K, C, C) * 0.05, jnp.bfloat16)
-        want = np.asarray(sp.gather_conv(feats, nbr, w), np.float32)
-        got = np.asarray(sp.gather_conv_pallas(feats, nbr, w, tile=128,
-                                               interpret=True), np.float32)
-        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
