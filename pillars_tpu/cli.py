@@ -23,6 +23,28 @@ from typing import List, Optional
 import numpy as np
 
 
+def _apply_xla_flags(flags: str) -> None:
+    """Append config-specified flags to $XLA_FLAGS.
+
+    XLA reads the env var once, when the first backend initializes — calling
+    this after any jax computation has no effect, so warn in that case."""
+    import os
+
+    cur = os.environ.get("XLA_FLAGS", "")
+    missing = [f for f in flags.split() if f not in cur.split()]
+    if not missing:
+        return
+    os.environ["XLA_FLAGS"] = (cur + " " + " ".join(missing)).strip()
+    try:
+        from jax._src import xla_bridge
+
+        if xla_bridge._backends:
+            print("[config] warning: runtime.xla_flags set after jax backend "
+                  "init — flags will not apply this process", file=sys.stderr)
+    except Exception:
+        pass
+
+
 def _load_config(args) -> "Config":
     if getattr(args, "platform", None):
         import jax
@@ -33,6 +55,8 @@ def _load_config(args) -> "Config":
     cfg = Config.from_yaml(args.config) if args.config else Config.default()
     if getattr(args, "set", None):
         cfg = cfg.overrides(args.set)
+    if cfg.runtime.xla_flags:
+        _apply_xla_flags(cfg.runtime.xla_flags)
     return cfg
 
 
@@ -129,7 +153,7 @@ def cmd_stream(args):
         variables = det.init(jax.random.PRNGKey(0), batch_size=1)
     stats = run_stream(cfg, det, variables, hz=args.hz,
                        duration_s=args.duration,
-                       source=args.source)
+                       source=args.source, window=args.window)
     print(json.dumps(stats))
 
 
@@ -261,6 +285,8 @@ def main(argv: Optional[List[str]] = None):
     sp.add_argument("--duration", type=float, default=5.0)
     sp.add_argument("--source", default="synthetic",
                     help="synthetic | replay:<dataset_root>")
+    sp.add_argument("--window", type=int, default=8,
+                    help="bounded in-flight depth (overlapped D2H fetches)")
     sp.set_defaults(fn=cmd_stream)
 
     sp = sub.add_parser("sample-val-data",

@@ -184,6 +184,11 @@ class RPNConfig:
     # the concat is pure HBM traffic and costs ~1 ms at KITTI scale —
     # scripts/probe_rpn_tail_variants.py)
     no_concat_heads: bool = True
+    # lower the depthwise stage of each separable conv as k*k shifted
+    # multiply-adds (models/layers.py::depthwise_shift_add) instead of a
+    # grouped conv — same params/math, candidate fast path for the
+    # grouped-conv forward/backward (scripts/probe_depthwise.py)
+    depthwise_shift_add: bool = False
     bn_eps: float = 1e-3  # keras BatchNormalization default
     bn_momentum: float = 0.99
 
@@ -365,6 +370,12 @@ class RuntimeConfig:
     measure_time_extended: bool = False
     production_mode: bool = False
     prediction_min_score: float = 0.45
+    # Extra XLA flags applied (appended to $XLA_FLAGS) by the CLI before the
+    # backend initializes, so measured-best compiler knobs ship with the
+    # config instead of shell incantations. Space-separated, e.g.
+    # "--xla_tpu_enable_latency_hiding_scheduler=true". No effect if set
+    # after the first jax computation.
+    xla_flags: str = ""
 
 
 @dataclass

@@ -148,11 +148,22 @@ def ros_source(mailbox: LatestFrameMailbox,
 
 def run_stream(cfg, detector, variables, hz: float = 120.0,
                duration_s: float = 5.0, source: str = "synthetic",
-               on_detections: Optional[Callable] = None) -> Dict:
+               on_detections: Optional[Callable] = None,
+               window: int = 8) -> Dict:
     """Pull frames from the mailbox through the jitted graph as fast as they
     arrive; report throughput / latency / drop statistics.
 
+    Dispatch and readback are decoupled: up to ``window`` frames are in
+    flight, their device->host fetches overlap on a small thread pool, and
+    results are consumed (latency stats + ``on_detections``) strictly in
+    dispatch order. A serialized fetch per frame would cap throughput at
+    1/RTT on remote-attached devices even when the device itself is >100x
+    faster; the bounded window keeps memory honest while hiding that RTT.
+
     reference production loop (train.py:689-861 + load_data.py:2244-2246)."""
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
     import jax
     import jax.numpy as jnp
 
@@ -183,13 +194,18 @@ def run_stream(cfg, detector, variables, hz: float = 120.0,
     skipped_total = 0
     latencies = []
     t_start = time.perf_counter()
-    pending = None  # (async device result, issue time) — 1-deep pipeline
+    window = max(1, int(window))
+    fetchers = ThreadPoolExecutor(max_workers=window)
+    inflight = deque()  # futures, dispatch order
 
-    def consume(item):
-        nonlocal processed
-        out, t0 = item
+    def fetch(out, t0):
         out = jax.device_get(out)
-        latencies.append((time.perf_counter() - t0) * 1e3)
+        return out, (time.perf_counter() - t0) * 1e3
+
+    def consume(fut):
+        nonlocal processed
+        out, lat_ms = fut.result()
+        latencies.append(lat_ms)
         processed += 1
         if on_detections is not None:
             keep = out.valid[0] & (out.scores[0] >= min_score)
@@ -204,14 +220,14 @@ def run_stream(cfg, detector, variables, hz: float = 120.0,
         pts = np.zeros((1, maxpts, 3), np.float32)
         n = min(len(frame), maxpts)
         pts[0, :n] = frame[:n, :3]
-        # issue frame k's inference BEFORE blocking on frame k-1's result:
-        # the device computes while the host waits (double buffering)
+        # async dispatch; the fetch overlaps on its own thread
         out = infer(variables, pts, jnp.asarray([n], jnp.int32), eye, eye)
-        if pending is not None:
-            consume(pending)
-        pending = (out, t0)
-    if pending is not None:
-        consume(pending)
+        inflight.append(fetchers.submit(fetch, out, t0))
+        while len(inflight) >= window:
+            consume(inflight.popleft())
+    while inflight:
+        consume(inflight.popleft())
+    fetchers.shutdown()
     wall = time.perf_counter() - t_start
     lat = np.asarray(latencies) if latencies else np.zeros(1)
     return {

@@ -88,12 +88,14 @@ class _Block(nn.Module):
     bn_momentum: float
     bn_eps: float
     separable: bool = True
+    shift_add: bool = False
     dtype: Optional[jnp.dtype] = None
 
     def _conv(self, x, stride, padding, name):
         if self.separable:
             return SeparableConv(self.features, 3, stride, padding=padding,
-                                 dtype=self.dtype, name=name)(x)
+                                 dtype=self.dtype, shift_add=self.shift_add,
+                                 name=name)(x)
         return nn.Conv(self.features, (3, 3), strides=(stride, stride),
                        padding=padding, use_bias=False,
                        kernel_init=he_uniform, dtype=self.dtype, name=name)(x)
@@ -181,6 +183,7 @@ class RPN(nn.Module):
             x = Block(rcfg.num_filters[i], rcfg.layer_nums[i],
                       rcfg.layer_strides[i], rcfg.bn_momentum, rcfg.bn_eps,
                       separable=rcfg.use_separable_conv,
+                      shift_add=rcfg.depthwise_shift_add,
                       dtype=self.dtype, name=f"block{i + 1}")(x, train)
             ups.append(
                 Deconv(rcfg.num_upsample_filters[i], rcfg.upsample_strides[i],

@@ -1,6 +1,14 @@
 """XLA-flag sweep for the KITTI fused train step (the open conv-backward
 thread: bwd ~9x fwd at these shapes, TODO.md).
 
+OUTCOME on this image (2026-08-18): UNMEASURABLE — the TPU compiler runs
+on the far side of the relay; ``--xla_tpu_*`` flags in XLA_FLAGS are
+parsed by the LOCAL client XLA (parse_flags_from_env.cc), which aborts on
+unknown TPU flags, and there is no channel to pass compiler flags to the
+remote libtpu. Keep this script for real (locally attached) TPU hosts,
+where the sweep runs as designed; pair it with the runtime.xla_flags
+config knob (config.py) to ship a winning combo.
+
 Custom Pallas conv schedules are the expensive lever; this probe first
 checks whether XLA's own scheduling/fusion knobs move the number. Each
 flag set needs a fresh process (XLA_FLAGS is read at backend init), so

@@ -20,8 +20,6 @@ run() {
 
 run bench            python bench.py
 run kitti_e2e        python scripts/probe_kitti_e2e.py
-run pallas_gather    python scripts/probe_pallas_gather.py
 run second_sparse    python scripts/probe_second_sparse.py
-run second_sparse_pg python scripts/probe_second_sparse.py --pallas-gather
 run stream120        python -m pillars_tpu.cli stream --hz 120 --duration 10
 echo "=== all done ==="

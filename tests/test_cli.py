@@ -85,3 +85,13 @@ class TestCLI:
     def test_bad_override_fails_loudly(self, root):
         with pytest.raises(KeyError):
             run_cli(["evaluate", "--set", "model.nope=1"])
+
+    def test_runtime_xla_flags_appended_once(self, monkeypatch):
+        """runtime.xla_flags lands in $XLA_FLAGS (deduplicated) so compiler
+        knobs ship with the config; existing flags are preserved."""
+        monkeypatch.setenv("XLA_FLAGS", "--xla_existing=1")
+        cli._apply_xla_flags("--xla_tpu_enable_latency_hiding_scheduler=true")
+        cli._apply_xla_flags("--xla_tpu_enable_latency_hiding_scheduler=true "
+                             "--xla_existing=1")
+        assert os.environ["XLA_FLAGS"] == (
+            "--xla_existing=1 --xla_tpu_enable_latency_hiding_scheduler=true")

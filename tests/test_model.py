@@ -325,3 +325,74 @@ class TestInferenceFn:
         assert out.boxes_lidar.shape == (1, 50, 7)
         assert out.scores.shape == (1, 50)
         assert np.all(np.isfinite(np.asarray(out.boxes_lidar)))
+
+
+class TestDepthwiseShiftAdd:
+    """depthwise_shift_add must match the grouped-conv lowering exactly
+    (same kernel), for every padding/stride case the RPN uses, in both
+    values and gradients — it is an alternative LOWERING, not a new op."""
+
+    CASES = [
+        ("SAME", 1),              # block conv1..N
+        (((1, 1), (1, 1)), 1),    # block1 conv0 (explicit pad, stride 1)
+        (((1, 1), (1, 1)), 2),    # block2/3 conv0 (explicit pad, stride 2)
+    ]
+
+    def _grouped(self, x, kernel, stride, padding):
+        import jax
+        return jax.lax.conv_general_dilated(
+            x, kernel, (stride, stride),
+            padding if padding != "SAME" else "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=x.shape[-1],
+            precision=jax.lax.Precision.HIGHEST)
+
+    @pytest.mark.parametrize("padding,stride", CASES)
+    def test_values_and_grads_match_grouped_conv(self, padding, stride):
+        import jax
+        import jax.numpy as jnp
+
+        from pillars_tpu.models.layers import depthwise_shift_add
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(2, 12, 10, 8).astype(np.float32))
+        k = jnp.asarray(rng.randn(3, 3, 1, 8).astype(np.float32))
+
+        ref = self._grouped(x, k, stride, padding)
+        got = depthwise_shift_add(x, k, stride, padding)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+
+        def loss_sa(x, k):
+            return jnp.sum(jnp.sin(depthwise_shift_add(x, k, stride,
+                                                       padding)))
+
+        def loss_gc(x, k):
+            return jnp.sum(jnp.sin(self._grouped(x, k, stride, padding)))
+
+        gx_sa, gk_sa = jax.grad(loss_sa, argnums=(0, 1))(x, k)
+        gx_gc, gk_gc = jax.grad(loss_gc, argnums=(0, 1))(x, k)
+        np.testing.assert_allclose(np.asarray(gx_sa), np.asarray(gx_gc),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gk_sa), np.asarray(gk_gc),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_separable_conv_param_tree_interchanges(self):
+        """shift_add=True produces the identical param tree and the same
+        outputs as the grouped-conv SeparableConv given the same params."""
+        import jax
+        import jax.numpy as jnp
+
+        from pillars_tpu.models.layers import SeparableConv
+
+        x = jnp.asarray(np.random.RandomState(1)
+                        .randn(1, 8, 8, 4).astype(np.float32))
+        m_gc = SeparableConv(6, 3, 1, padding="SAME")
+        m_sa = SeparableConv(6, 3, 1, padding="SAME", shift_add=True)
+        v = m_gc.init(jax.random.PRNGKey(0), x)
+        v2 = m_sa.init(jax.random.PRNGKey(0), x)
+        assert (jax.tree_util.tree_structure(v)
+                == jax.tree_util.tree_structure(v2))
+        np.testing.assert_allclose(np.asarray(m_sa.apply(v, x)),
+                                   np.asarray(m_gc.apply(v, x)),
+                                   rtol=1e-5, atol=1e-5)

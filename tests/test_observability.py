@@ -99,6 +99,47 @@ class TestCocoEval:
         np.testing.assert_allclose(d3[0], 100.0)
 
 
+class TestStreamWindow:
+    def test_inorder_consumption_with_overlapped_fetches(self):
+        """run_stream must consume results in DISPATCH order (FIFO over the
+        in-flight deque) when window > 1 and fetches run on a thread pool.
+        Uses a fake detector whose 'device outputs' are host arrays tagged
+        with a per-frame sequence number; variable dispatch latency makes
+        several frames genuinely coexist in the window."""
+        from types import SimpleNamespace
+
+        from pillars_tpu.data.stream import run_stream
+
+        cfg = SimpleNamespace(
+            model=SimpleNamespace(voxel=SimpleNamespace(max_points=64)),
+            eval_input=SimpleNamespace(anchor_area_threshold=1.0),
+            runtime=SimpleNamespace(prediction_min_score=0.0),
+        )
+        seq = [0]
+
+        class Out:
+            def __init__(self, k):
+                self.valid = np.array([[True]])
+                self.scores = np.array([[float(k)]])
+                self.boxes_lidar = np.zeros((1, 1, 7), np.float32)
+
+        def infer(variables, pts, n, rect, trv2c):
+            k = seq[0]
+            seq[0] += 1
+            time.sleep(0.002 * (k % 3))  # stagger dispatches to fill window
+            return Out(k)
+
+        det = SimpleNamespace(make_inference_fn=lambda thr: infer)
+        seen = []
+        stats = run_stream(cfg, det, None, hz=200, duration_s=0.6,
+                           source="synthetic", window=4,
+                           on_detections=lambda b, s: seen.append(float(s[0])))
+        # warmup call consumed seq 0; streamed frames are 1..N in order
+        assert seen == sorted(seen)
+        assert stats["frames_processed"] == len(seen)
+        assert stats["frames_processed"] >= 4
+
+
 class TestStreamEndToEnd:
     def test_synthetic_stream_on_cpu(self):
         """Full production loop on CPU: source thread -> mailbox -> jitted
