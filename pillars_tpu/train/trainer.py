@@ -46,6 +46,22 @@ class Evaluator:
             cfg.eval_input.anchor_area_threshold)
         self.class_names = list(cfg.eval_input.desired_objects)
         self.measure_time = measure_time
+        # data-parallel eval: full batches shard over the mesh like the
+        # Trainer's (SURVEY §2.4); remainder batches fall back to one device
+        self.mesh = None
+        n_dev = cfg.runtime.num_devices or len(jax.devices())
+        if n_dev > 1 and cfg.eval_input.batch_size % n_dev == 0:
+            from pillars_tpu.parallel import make_mesh
+
+            self.mesh = make_mesh(n_dev, cfg.runtime.data_axis)
+
+    def _device_put(self, batch):
+        if (self.mesh is not None
+                and batch["points"].shape[0] % self.mesh.size == 0):
+            from pillars_tpu.parallel import shard_batch
+
+            return shard_batch(batch, self.mesh, self.cfg.runtime.data_axis)
+        return jax.device_put(batch)
 
     def _drain(self, entry, dt_annos, timer):
         """Read back one in-flight batch and convert it to annos."""
@@ -73,7 +89,7 @@ class Evaluator:
         it = BatchIterator(self.dataset, batch_size, shuffle=False,
                            num_workers=self.cfg.eval_input.num_workers,
                            drop_remainder=False,
-                           device_put_fn=jax.device_put)
+                           device_put_fn=self._device_put)
         total = (min(len(self.dataset), max_samples) if max_samples
                  else len(self.dataset))
         timer = StageTimer(enabled=self.measure_time)

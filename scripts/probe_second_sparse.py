@@ -45,11 +45,16 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--npts", type=int, default=100000)
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--vcap", type=int, default=0,
+                    help="override model.voxel.max_voxels (V-cap scaling A/B; "
+                         "quality tradeoff documented in TODO.md)")
     args = ap.parse_args()
 
     cfg = Config.from_yaml("configs/kitti_second.yaml")
     if args.bf16:
         cfg = cfg.override("runtime.compute_dtype", "bfloat16")
+    if args.vcap:
+        cfg = cfg.override("model.voxel.max_voxels", args.vcap)
     det = PillarsDetector(cfg)
     variables = det.init(jax.random.PRNGKey(0), batch_size=1)
     thr = cfg.eval_input.anchor_area_threshold

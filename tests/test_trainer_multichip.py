@@ -69,3 +69,33 @@ class TestTrainerMultichip:
         trainer2 = Trainer(cfg.override("out_dir", str(tmp_path / "out3")))
         trainer2.train(epochs=1, replay_batch_file=batch_file,
                        fixture_repeats=2)
+
+    def test_sharded_eval_matches_unsharded(self, root, tmp_path):
+        """Evaluator shards full eval batches over the data mesh and must
+        produce the same annos as the single-device path (the remainder
+        batch falls back to one device)."""
+        from pillars_tpu.models.detector import PillarsDetector
+        from pillars_tpu.train.trainer import Evaluator
+
+        cfg = make_cfg(root, str(tmp_path / "out_ev"))
+        cfg = cfg.override("eval_input.batch_size", 4)
+        cfg = cfg.override("runtime.num_devices", 4)
+        det = PillarsDetector(cfg)
+        variables = det.init(jax.random.PRNGKey(0), batch_size=4)
+
+        ev = Evaluator(cfg, det)
+        assert ev.mesh is not None and ev.mesh.size == 4
+        dt_sharded, gt = ev.run(variables)
+
+        cfg1 = cfg.override("runtime.num_devices", 1)
+        ev1 = Evaluator(cfg1, det)
+        assert ev1.mesh is None
+        dt_single, _ = ev1.run(variables)
+
+        assert len(dt_sharded) == len(dt_single) == len(gt)
+        for a, b in zip(dt_sharded, dt_single):
+            assert list(a["name"]) == list(b["name"])
+            np.testing.assert_allclose(a["score"], b["score"],
+                                       rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(a["location"], b["location"],
+                                       rtol=1e-4, atol=1e-4)
