@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 from typing import List, Optional
 
@@ -91,18 +92,32 @@ def cmd_evaluate(args):
         print("[evaluate] no checkpoint given - random init", file=sys.stderr)
         variables = det.init(jax.random.PRNGKey(0), batch_size=1)
     ev = Evaluator(cfg, det, measure_time=cfg.runtime.measure_time)
+    if cfg.eval_input.no_annos_mode:
+        # predictions only — no labels to score against (reference
+        # README.md:247-260, train.py:876-880): pickle the dt annos for
+        # the visualizer and skip the official eval
+        save = args.save_predictions or os.path.join(
+            cfg.out_dir or ".", "result.pkl")
+        os.makedirs(os.path.dirname(os.path.abspath(save)), exist_ok=True)
+        dt_annos, _ = ev.run(variables, max_samples=args.max_samples,
+                             save_path=save)
+        print(f"[evaluate] no_annos_mode: {len(dt_annos)} prediction annos "
+              f"saved to {save}; no AP (no labels)")
+        return
     if args.coco:
         # COCO-style AP over an IoU range (reference train.py:918, kept
         # commented out there; eval.py:920-997)
         from pillars_tpu.eval import kitti_ap
 
-        dt_annos, gt_annos = ev.run(variables, max_samples=args.max_samples)
+        dt_annos, gt_annos = ev.run(variables, max_samples=args.max_samples,
+                                    save_path=args.save_predictions)
         result, _, _, _, _ = kitti_ap.get_coco_eval_result(
             gt_annos, dt_annos, ev.class_names, compute_bbox=False)
         print(result)
         return
     result, bev, d3, aos, score = ev.evaluate(
-        variables, max_samples=args.max_samples)
+        variables, max_samples=args.max_samples,
+        save_path=args.save_predictions)
     print(result)
     print(f"aggregate score: {score:.2f}")
 
@@ -259,6 +274,9 @@ def main(argv: Optional[List[str]] = None):
     sp.add_argument("--coco", action="store_true",
                     help="COCO-style AP over an IoU range instead of the "
                          "6-threshold official eval")
+    sp.add_argument("--save-predictions", default=None,
+                    help="pickle the dt annos here (default in "
+                         "no_annos_mode: <out_dir>/result.pkl)")
     sp.set_defaults(fn=cmd_evaluate)
 
     sp = sub.add_parser("create-data",

@@ -523,6 +523,8 @@ class Config:
                 return None if v in ("None", None) else v
             cfg = cfg.override(f"{attr}.info_path", _none(rd.get("img_list_and_infos_path")))
             cfg = cfg.override(f"{attr}.dataset_root", _none(rd.get("dataset_root_path")))
+            cfg = cfg.override(f"{attr}.no_annos_mode", bool(rd.get("no_annos_mode", False)))
+            cfg = cfg.override(f"{attr}.no_annos_info_path", _none(rd.get("img_list_and_infos_path_no_annos")))
             cfg = cfg.override(f"{attr}.batch_size", rd.get("batch_size", 2))
             cfg = cfg.override(f"{attr}.anchor_area_threshold", rd.get("anchor_area_threshold", 1))
             cfg = cfg.override(f"{attr}.desired_objects", rd.get("desired_objects", ["Pedestrian"]))

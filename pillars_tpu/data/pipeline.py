@@ -48,7 +48,14 @@ class PedestrianDataset:
         # debug_save_points equivalent: publish every augmentation stage
         # (reference load_data.py:2659-2825); pass a viz Publisher
         self.debug_publisher = debug_publisher
-        with open(reader.info_path, "rb") as f:
+        # no_annos_mode: evaluate a dataset that has no labels — infos come
+        # from the dedicated no-annotation list and per-item annos are
+        # replaced with an empty dummy (reference load_data.py:1983, :2411)
+        info_path = reader.info_path
+        if (not training and reader.no_annos_mode
+                and reader.no_annos_info_path):
+            info_path = reader.no_annos_info_path
+        with open(info_path, "rb") as f:
             self.infos: List[Dict] = pickle.load(f)
         self.root = reader.dataset_root
         self.desired = list(reader.desired_objects)
@@ -83,16 +90,20 @@ class PedestrianDataset:
         rect = info["calib/R0_rect"].astype(np.float32)
         trv2c = info["calib/Tr_velo_to_cam"].astype(np.float32)
         p2 = info["calib/P2"].astype(np.float32)
-        annos = info["annos"]
-
-        keep = np.array([n in self.desired for n in annos["name"]], dtype=bool)
-        loc = annos["location"][keep]
-        dims = annos["dimensions"][keep]
-        rots = annos["rotation_y"][keep]
-        gt_names = annos["name"][keep]
-        gt_boxes_cam = np.concatenate(
-            [loc, dims, rots[..., np.newaxis]], axis=1).astype(np.float32)
-        gt_boxes = nb.box_camera_to_lidar(gt_boxes_cam, rect, trv2c)
+        annos = info.get("annos")
+        if annos is None:  # no_annos_mode dummy (load_data.py:2411-2413)
+            gt_names = np.array([], dtype="<U16")
+            gt_boxes = np.zeros((0, 7), np.float32)
+        else:
+            keep = np.array([n in self.desired for n in annos["name"]],
+                            dtype=bool)
+            loc = annos["location"][keep]
+            dims = annos["dimensions"][keep]
+            rots = annos["rotation_y"][keep]
+            gt_names = annos["name"][keep]
+            gt_boxes_cam = np.concatenate(
+                [loc, dims, rots[..., np.newaxis]], axis=1).astype(np.float32)
+            gt_boxes = nb.box_camera_to_lidar(gt_boxes_cam, rect, trv2c)
 
         if self.training:
             gt_boxes, gt_names, points = self._augment(gt_boxes, gt_names,

@@ -150,6 +150,10 @@ class Evaluator:
         if save_path:
             with open(save_path, "wb") as f:
                 pickle.dump(dt_annos, f, 2)
+        if self.cfg.eval_input.no_annos_mode:
+            # no labels to score against: predictions only
+            # (reference train.py:876-880 exits before AP here)
+            return dt_annos, []
         gt_annos = infos_to_gt_annos(self.dataset.infos)[: len(dt_annos)]
         return dt_annos, gt_annos
 
@@ -157,6 +161,10 @@ class Evaluator:
                  save_path: Optional[str] = None):
         """Returns (result_str, mAPbev, mAP3d, mAPaos, score)."""
         dt_annos, gt_annos = self.run(variables, max_samples, save_path)
+        if self.cfg.eval_input.no_annos_mode:
+            # reference returns (score 0, "no evaluation") so the caller's
+            # gating/logging still works (train.py:879-880)
+            return "no evaluation (no_annos_mode)", 0.0, 0.0, 0.0, 0.0
         result, _, mAPbev, mAP3d, mAPaos = kitti_ap.get_official_eval_result(
             gt_annos, dt_annos, self.class_names, compute_bbox=False)
         score = kitti_ap.aggregate_eval_score(mAP3d, mAPaos, mAPbev)

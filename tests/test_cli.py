@@ -74,6 +74,36 @@ class TestCLI:
         assert "coco AP@" in out
         assert "aggregate score" not in out
 
+    def test_evaluate_no_annos_mode(self, root, tmp_path):
+        """no_annos_mode: eval a dataset WITHOUT labels — predictions are
+        pickled for the visualizer, no AP is computed (reference
+        README.md:247-260, train.py:876-880, load_data.py:1983/:2411)."""
+        import pickle
+
+        with open(f"{root}/kitti_infos_val.pkl", "rb") as f:
+            infos = pickle.load(f)
+        for info in infos:
+            info.pop("annos", None)
+        live = str(tmp_path / "kitti_infos_val_live.pkl")
+        with open(live, "wb") as f:
+            pickle.dump(infos, f, 2)
+
+        save = str(tmp_path / "result.pkl")
+        out = run_cli([
+            "evaluate", "--save-predictions", save,
+            "--set", *TINY,
+            f"eval_input.info_path={root}/kitti_infos_val.pkl",
+            "eval_input.no_annos_mode=true",
+            f"eval_input.no_annos_info_path={live}",
+            f"eval_input.dataset_root={root}", "eval_input.batch_size=2",
+            "runtime.num_devices=1"])
+        assert "no_annos_mode" in out and "saved to" in out
+        assert "aggregate score" not in out
+        with open(save, "rb") as f:
+            dt_annos = pickle.load(f)
+        assert len(dt_annos) == len(infos)
+        assert all("score" in a and "location" in a for a in dt_annos)
+
     def test_visualize(self, root, tmp_path):
         out_dir = str(tmp_path / "viz")
         out = run_cli(["visualize", "--root", root,
