@@ -172,6 +172,70 @@ def cmd_stream(args):
     print(json.dumps(stats))
 
 
+def cmd_capture(args):
+    """Dataset capture (reference scripts/realsense_make_dataset.py CLI:
+    ``live_mode_off DATASETPATH ROTATION START_IDX END_IDX train`` is
+    ``capture --mode predefined --rotation R --start S --end E``;
+    ``live_mode_on`` is ``--mode unannotated``). Headless sources:
+    synthetic | replay:<dataset_root>; ``ros`` subscribes the live
+    RealSense topic where rospy exists."""
+    import itertools
+
+    from pillars_tpu.data import capture as cap
+
+    def frame_iter():
+        if args.source == "synthetic":
+            from pillars_tpu.data.synthetic import make_scene
+
+            rng = np.random.RandomState(args.seed)
+            while True:
+                points, _ = make_scene(rng)
+                yield points  # already lidar coords
+        elif args.source.startswith("replay:"):
+            import pickle
+
+            root = args.source.split(":", 1)[1]
+            sub = "training/velodyne"
+            d = os.path.join(root, sub)
+            for name in sorted(os.listdir(d)):
+                with open(os.path.join(d, name), "rb") as f:
+                    yield np.asarray(pickle.load(f), dtype=np.float32)
+        elif args.source == "ros":
+            from pillars_tpu.data.stream import (LatestFrameMailbox,
+                                                 ros_source)
+
+            mailbox = LatestFrameMailbox()
+            ros_source(mailbox)
+            while True:
+                frame, _skipped = mailbox.take(timeout=5.0)
+                if frame is None:
+                    return
+                yield frame
+        else:
+            raise SystemExit(f"unknown capture source {args.source!r}")
+
+    # replay/synthetic frames are already in lidar coords; a live ROS cloud
+    # is raw camera coords and gets the d435i->lidar transform inside capture
+    already_lidar = args.source != "ros"
+    frames = itertools.islice(frame_iter(), args.start, args.end)
+    if args.mode == "predefined":
+        rotations = ([args.rotation] if args.rotation is not None
+                     else cap.PREDEFINED_ROTATIONS)
+        n = cap.capture_predefined(frames, args.root,
+                                   every_nth=args.every_nth,
+                                   rotations=rotations,
+                                   already_lidar=already_lidar,
+                                   max_frames=args.max_frames)
+    else:
+        n = cap.capture_unannotated(frames, args.root,
+                                    already_lidar=already_lidar,
+                                    max_frames=args.max_frames)
+    split = "training" if args.mode == "predefined" else "testing"
+    print(f"[capture] saved {n} {args.mode} clouds to {args.root}/{split} "
+          f"(next: pillars-tpu create-data --root {args.root} "
+          f"--num-train {n})")
+
+
 def cmd_sample_val_data(args):
     from pillars_tpu.data.val_sampling import create_sampled_val_dataset
 
@@ -306,6 +370,27 @@ def main(argv: Optional[List[str]] = None):
     sp.add_argument("--window", type=int, default=8,
                     help="bounded in-flight depth (overlapped D2H fetches)")
     sp.set_defaults(fn=cmd_stream)
+
+    sp = sub.add_parser(
+        "capture",
+        help="dataset capture + few-annotation trick (the reference's "
+             "scripts/realsense_make_dataset.py)")
+    sp.add_argument("--root", required=True)
+    sp.add_argument("--mode", choices=["predefined", "unannotated"],
+                    default="predefined",
+                    help="predefined = live_mode_off (every Nth cloud gets "
+                         "the predefined box); unannotated = live_mode_on")
+    sp.add_argument("--source", default="synthetic",
+                    help="synthetic | replay:<dataset_root> | ros")
+    sp.add_argument("--rotation", type=float, default=None,
+                    help="fixed box rotation for this run (reference "
+                         "ROTATION arg); default cycles the 8 predefined")
+    sp.add_argument("--start", type=int, default=0)
+    sp.add_argument("--end", type=int, default=None)
+    sp.add_argument("--every-nth", type=int, default=4)
+    sp.add_argument("--max-frames", type=int, default=None)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=cmd_capture)
 
     sp = sub.add_parser("sample-val-data",
                         help="build an augmented eval set from the val split "

@@ -104,6 +104,31 @@ class TestCLI:
         assert len(dt_annos) == len(infos)
         assert all("score" in a and "location" in a for a in dt_annos)
 
+    def test_capture_then_create_data(self, tmp_path):
+        """capture --mode predefined (the reference few-annotation trick,
+        realsense_make_dataset.py live_mode_off): every Nth synthetic cloud
+        saved with the predefined box at a fixed rotation, then create-data
+        builds infos over the captured set."""
+        root = str(tmp_path / "cap_ds")
+        out = run_cli(["capture", "--root", root, "--mode", "predefined",
+                       "--source", "synthetic", "--rotation", "-3.14",
+                       "--end", "12", "--every-nth", "4"])
+        assert "saved 3 predefined clouds" in out
+        labels = sorted(os.listdir(f"{root}/training/label_2"))
+        assert len(labels) == 3
+        with open(f"{root}/training/label_2/{labels[0]}") as f:
+            line = f.read().strip()
+        assert line.startswith("Pedestrian")
+
+        out = run_cli(["create-data", "--root", root, "--num-train", "3",
+                       "--num-test", "0"])
+        assert os.path.exists(f"{root}/kitti_infos_train.pkl")
+
+        out = run_cli(["capture", "--root", root, "--mode", "unannotated",
+                       "--source", f"replay:{root}", "--max-frames", "2"])
+        assert "saved 2 unannotated clouds" in out
+        assert len(os.listdir(f"{root}/testing/velodyne")) == 2
+
     def test_visualize(self, root, tmp_path):
         out_dir = str(tmp_path / "viz")
         out = run_cli(["visualize", "--root", root,
