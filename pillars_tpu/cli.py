@@ -92,6 +92,11 @@ def cmd_evaluate(args):
         print("[evaluate] no checkpoint given - random init", file=sys.stderr)
         variables = det.init(jax.random.PRNGKey(0), batch_size=1)
     ev = Evaluator(cfg, det, measure_time=cfg.runtime.measure_time)
+    if args.save_predictions:
+        # fail on an unwritable destination BEFORE the eval loop runs,
+        # not after minutes of inference
+        os.makedirs(os.path.dirname(os.path.abspath(args.save_predictions)),
+                    exist_ok=True)
     if cfg.eval_input.no_annos_mode:
         # predictions only — no labels to score against (reference
         # README.md:247-260, train.py:876-880): pickle the dt annos for
@@ -214,9 +219,11 @@ def cmd_capture(args):
         else:
             raise SystemExit(f"unknown capture source {args.source!r}")
 
-    # replay/synthetic frames are already in lidar coords; a live ROS cloud
-    # is raw camera coords and gets the d435i->lidar transform inside capture
-    already_lidar = args.source != "ros"
+    # every source yields lidar-frame clouds: replay/synthetic natively,
+    # and ros_source applies d435i_to_lidar (+1::4 subsample) in its
+    # subscriber callback (data/stream.py) — transforming again here
+    # would double-rotate and double-subsample
+    already_lidar = True
     frames = itertools.islice(frame_iter(), args.start, args.end)
     if args.mode == "predefined":
         rotations = ([args.rotation] if args.rotation is not None
@@ -230,10 +237,14 @@ def cmd_capture(args):
         n = cap.capture_unannotated(frames, args.root,
                                     already_lidar=already_lidar,
                                     max_frames=args.max_frames)
-    split = "training" if args.mode == "predefined" else "testing"
-    print(f"[capture] saved {n} {args.mode} clouds to {args.root}/{split} "
-          f"(next: pillars-tpu create-data --root {args.root} "
-          f"--num-train {n})")
+    if args.mode == "predefined":
+        print(f"[capture] saved {n} predefined clouds to "
+              f"{args.root}/training (next: pillars-tpu create-data "
+              f"--root {args.root} --num-train {n})")
+    else:
+        print(f"[capture] saved {n} unannotated clouds to "
+              f"{args.root}/testing (next: pillars-tpu create-data "
+              f"--root {args.root} --num-train 0 --num-test {n})")
 
 
 def cmd_sample_val_data(args):

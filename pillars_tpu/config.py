@@ -416,6 +416,12 @@ class Config:
                 elif isinstance(cur, tuple) and isinstance(val, (list, tuple)):
                     val = tuple(tuple(v) if isinstance(v, list) else v
                                 for v in val)
+                elif isinstance(cur, bool) and isinstance(val, str):
+                    # a string landing on a bool field is always a mistake
+                    # (any non-empty string is truthy) — fail loudly
+                    raise ValueError(
+                        f"boolean config key {path!r} given string "
+                        f"{val!r}; use true/false")
                 return dataclasses.replace(obj, **{parts[0]: val})
             child = getattr(obj, parts[0])
             return dataclasses.replace(obj, **{parts[0]: rec(child, parts[1:])})
@@ -431,7 +437,16 @@ class Config:
             try:
                 val = ast.literal_eval(raw)
             except (ValueError, SyntaxError):
-                val = raw
+                # YAML-style scalars: lowercase true/false/null would
+                # otherwise fall through as TRUTHY strings and silently
+                # enable boolean flags the user meant to disable
+                low = raw.strip().lower()
+                if low in ("true", "false"):
+                    val = low == "true"
+                elif low in ("none", "null"):
+                    val = None
+                else:
+                    val = raw
             cfg = cfg.override(key.strip(), val)
         return cfg
 

@@ -92,6 +92,11 @@ class PedestrianDataset:
         p2 = info["calib/P2"].astype(np.float32)
         annos = info.get("annos")
         if annos is None:  # no_annos_mode dummy (load_data.py:2411-2413)
+            if self.training:
+                raise KeyError(
+                    f"info for frame {info.get('image_idx')} has no 'annos' "
+                    "— training on an unlabeled info file would silently "
+                    "fit background only; no_annos_mode is eval-only")
             gt_names = np.array([], dtype="<U16")
             gt_boxes = np.zeros((0, 7), np.float32)
         else:

@@ -27,7 +27,10 @@ def main():
     ap.add_argument("--npts", type=int, default=100000)
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--bf16", action="store_true")
+    # kitti_3class.yaml ships remat=true since 8fd8bd6; --no-remat
+    # restores the store-all baseline for A/Bs
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--no-remat", action="store_true")
     args = ap.parse_args()
 
     cfg = Config.from_yaml("configs/kitti_3class.yaml")
@@ -35,6 +38,8 @@ def main():
         cfg = cfg.override("runtime.compute_dtype", "bfloat16")
     if args.remat:
         cfg = cfg.override("model.rpn.remat", True)
+    if args.no_remat:
+        cfg = cfg.override("model.rpn.remat", False)
     det = PillarsDetector(cfg)
     B = args.batch
     state, tx = create_train_state(det, jax.random.PRNGKey(0), B)

@@ -16,7 +16,7 @@ All variants take the canvas as input and reduce outputs to a scalar sum
 train step (train/loop.py).
 
 Usage: PYTHONPATH=/root/.axon_site:. JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache \
-       python scripts/probe_rpn_compose.py [--iters N] [--bf16]
+       python scripts/probe_rpn_compose.py [--iters N]
 """
 
 import argparse
@@ -124,7 +124,10 @@ def main():
     print(f"sync baseline {sync*1e3:.1f} ms", flush=True)
     it = args.iters
 
-    cfg = Config.from_yaml("configs/kitti_3class.yaml")
+    # kitti_3class.yaml ships remat=true since 8fd8bd6 — force it off so
+    # the prefixes and "full RPN (config heads)" are store-all baselines
+    cfg = Config.from_yaml("configs/kitti_3class.yaml").override(
+        "model.rpn.remat", False)
     m = cfg.model
     shape = (B, ny, nx, 64)
 

@@ -96,7 +96,9 @@ def main():
     it = args.iters
 
     cfg = Config.from_yaml("configs/kitti_3class.yaml")
-    m = cfg.model
+    # kitti_3class.yaml ships remat=true since 8fd8bd6 — force both arms
+    # explicitly so "none" really is the store-all baseline
+    m = cfg.override("model.rpn.remat", False).model
     m_r = cfg.override("model.rpn.remat", True).model
     shape = (B, ny, nx, 64)
 

@@ -141,6 +141,22 @@ class TestCLI:
         with pytest.raises(KeyError):
             run_cli(["evaluate", "--set", "model.nope=1"])
 
+    def test_boolean_overrides_parse_yaml_scalars(self):
+        """--set key=false must DISABLE the flag — the lowercase YAML
+        spelling must not fall through as a truthy string — and a string
+        landing on a bool field fails loudly instead of enabling it."""
+        from pillars_tpu.config import Config
+
+        cfg = Config.default()
+        assert cfg.overrides(["model.rpn.remat=false"]).model.rpn.remat \
+            is False
+        assert cfg.overrides(["model.rpn.remat=true"]).model.rpn.remat \
+            is True
+        assert cfg.overrides(
+            ["train.load_weights=null"]).train.load_weights is None
+        with pytest.raises(ValueError):
+            cfg.override("model.rpn.remat", "yes")
+
     def test_runtime_xla_flags_appended_once(self, monkeypatch):
         """runtime.xla_flags lands in $XLA_FLAGS (deduplicated) so compiler
         knobs ship with the config; existing flags are preserved."""
