@@ -84,7 +84,18 @@ def _measure(det, variables, cfg, batch: int, n_clouds: int = 16,
 
 
 def main():
+    import os
+
     import jax
+
+    # persistent compile cache so repeated driver runs skip the remote
+    # TPU compile (env var would be too late — sitecustomize imports jax)
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                         "/tmp/jaxcache"))
+    except Exception:
+        pass
 
     from pillars_tpu.config import Config
     from pillars_tpu.models.detector import PillarsDetector
