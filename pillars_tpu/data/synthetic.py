@@ -38,19 +38,40 @@ RECT = np.eye(4, dtype=np.float32)
 
 def _pedestrian_points(rng, box, n=None):
     """Point blob shaped like a standing person inside a lidar box
-    [x, y, z, w, l, h, r] (z = bottom)."""
+    [x, y, z, w, l, h, r] (z = bottom).
+
+    Generated in the box's LOCAL frame and rotated into the world by the
+    label yaw ``r`` with the same clockwise-positive convention as box
+    corners (np_boxes.rotation_2d; reference load_data.py:1547-1561), with
+    a front/back asymmetry (forward = local +x: chest lean, backward leg
+    bias, face cluster pulled to the front surface) so heading — INCLUDING
+    its sign — is observable from geometry. Without the rotation the
+    regression target for r is label noise, and without the 180-degree
+    asymmetry the direction classifier (rot_gt>0 target, reference
+    voxelnet.py:38-46) has nothing learnable.
+    """
     x, y, z, w, l, h, r = box
     n = n or int(rng.randint(80, 400))
     t = rng.uniform(0, 1, n)
     torso = t > 0.45
-    pts = np.zeros((n, 3), dtype=np.float32)
-    pts[:, 2] = z + t * h
+    face = t > 0.82
     radius = np.where(torso, 0.5, 0.3)
     ang = rng.uniform(-np.pi, np.pi, n)
     rad = rng.uniform(0, 1, n) ** 0.5 * radius
-    pts[:, 0] = x + np.cos(ang) * rad * w / 2 * 1.6
-    pts[:, 1] = y + np.sin(ang) * rad * l / 2 * 1.6
-    # camera sees only the front: keep points facing the sensor + noise
+    lx = np.cos(ang) * rad * w / 2 * 1.6
+    ly = np.sin(ang) * rad * l / 2 * 1.6
+    # chest lean forward / feet trail backward (breaks 180-deg symmetry)
+    lx = lx + np.where(torso, 0.08, -0.06) * w
+    # face/nose cluster: most head-height points sit on the front surface
+    on_face = face & (rng.uniform(0, 1, n) < 0.7)
+    lx = np.where(on_face, (0.36 + rng.uniform(0, 0.08, n)) * w, lx)
+    ly = np.where(on_face, ly * 0.4, ly)
+    # rotate local offsets into the world with the box-corner convention
+    c, s = np.cos(r), np.sin(r)
+    pts = np.zeros((n, 3), dtype=np.float32)
+    pts[:, 0] = x + lx * c + ly * s
+    pts[:, 1] = y - lx * s + ly * c
+    pts[:, 2] = z + t * h
     pts[:, :2] += rng.normal(0, 0.02, (n, 2))
     return pts
 

@@ -241,94 +241,93 @@ def _d3_box_overlap_loop(boxes, qboxes, criterion=-1):
 def compute_statistics(overlaps, gt_datas, dt_datas, ignored_gt, ignored_det,
                        dc_bboxes, metric, min_overlap, thresh=0.0,
                        compute_fp=False, compute_aos=False):
-    """Greedy matcher, reference eval.py:166-286 (compute_statistics_jit).
+    """Greedy KITTI TP/FP/FN matcher with ignore semantics — same contract
+    as the reference's ``compute_statistics_jit`` (eval.py:166-286), built
+    differently: the GT loop stays sequential (the greedy consume-in-GT-order
+    policy is load-bearing for AP parity) but each GT's candidate selection
+    is a vectorized reduction over the remaining detections instead of an
+    arrival-order scan; the semantics are pinned to a line-faithful loop
+    oracle by a randomized differential test (tests/test_eval_ap.py).
 
-    overlaps: [num_dt, num_gt]."""
-    det_size = dt_datas.shape[0]
-    gt_size = gt_datas.shape[0]
-    dt_scores = dt_datas[:, -1]
-    dt_alphas = dt_datas[:, 4]
-    gt_alphas = gt_datas[:, 4]
-    dt_bboxes = dt_datas[:, :4]
+    Matching policy per (non-skipped) GT, derived from the reference's
+    arrival-scan invariants:
+      * threshold-collection mode (``compute_fp=False``): the highest-score
+        unconsumed detection overlapping above ``min_overlap`` (ignored
+        detections compete in the same pool);
+      * counting mode (``compute_fp=True``): the best-OVERLAP real detection
+        (``ignored_det == 0``; ties -> lowest index, matching the strict ">"
+        running max), falling back to the first ignored detection only when
+        no real one qualifies — an ignored match consumes the GT without
+        scoring a TP.
+    A match against an ignored GT or by an ignored detection consumes the
+    detection silently. Unconsumed real detections count as FP, minus those
+    swallowed by DontCare regions (metric 0 only, criterion-0 overlap).
 
-    assigned_detection = [False] * det_size
-    ignored_threshold = [False] * det_size
+    overlaps: [num_dt, num_gt]. Returns
+    (tp, fp, fn, similarity, matched-TP scores in GT order).
+    """
+    n_dt = dt_datas.shape[0]
+    n_gt = gt_datas.shape[0]
+    scores = dt_datas[:, -1]
+    ignored_gt = np.asarray(ignored_gt)
+    ignored_det = np.asarray(ignored_det)
+    overlaps = np.asarray(overlaps)
+
+    usable = ignored_det != -1
     if compute_fp:
-        for i in range(det_size):
-            if dt_scores[i] < thresh:
-                ignored_threshold[i] = True
-    tp, fp, fn, similarity = 0, 0, 0, 0.0
-    thresholds = np.zeros((gt_size,))
-    thresh_idx = 0
-    delta = np.zeros((gt_size,))
-    delta_idx = 0
-    for i in range(gt_size):
-        if ignored_gt[i] == -1:
+        usable &= ~(scores < thresh)
+    free = usable.copy()          # not yet consumed by a GT
+    real = ignored_det == 0
+
+    tp = 0
+    fn = 0
+    tp_scores: list = []
+    aos_terms: list = []
+    for g in range(n_gt):
+        if ignored_gt[g] == -1:
             continue
-        det_idx = -1
-        valid_detection = NO_DETECTION
-        max_overlap = 0.0
-        assigned_ignored_det = False
-        for j in range(det_size):
-            if ignored_det[j] == -1 or assigned_detection[j] or \
-                    ignored_threshold[j]:
-                continue
-            overlap = overlaps[j, i]
-            dt_score = dt_scores[j]
-            if (not compute_fp and overlap > min_overlap
-                    and dt_score > valid_detection):
-                det_idx = j
-                valid_detection = dt_score
-            elif (compute_fp and overlap > min_overlap
-                  and (overlap > max_overlap or assigned_ignored_det)
-                  and ignored_det[j] == 0):
-                max_overlap = overlap
-                det_idx = j
-                valid_detection = 1
-                assigned_ignored_det = False
-            elif (compute_fp and overlap > min_overlap
-                  and valid_detection == NO_DETECTION
-                  and ignored_det[j] == 1):
-                det_idx = j
-                valid_detection = 1
-                assigned_ignored_det = True
-        if valid_detection == NO_DETECTION and ignored_gt[i] == 0:
-            fn += 1
-        elif (valid_detection != NO_DETECTION
-              and (ignored_gt[i] == 1 or ignored_det[det_idx] == 1)):
-            assigned_detection[det_idx] = True
-        elif valid_detection != NO_DETECTION:
-            tp += 1
-            thresholds[thresh_idx] = dt_scores[det_idx]
-            thresh_idx += 1
-            if compute_aos:
-                delta[delta_idx] = gt_alphas[i] - dt_alphas[det_idx]
-                delta_idx += 1
-            assigned_detection[det_idx] = True
-    if compute_fp:
-        for i in range(det_size):
-            if not (assigned_detection[i] or ignored_det[i] == -1
-                    or ignored_det[i] == 1 or ignored_threshold[i]):
-                fp += 1
-        nstuff = 0
-        if metric == 0 and len(dc_bboxes) > 0:
-            dc = np.stack(dc_bboxes, 0) if isinstance(dc_bboxes, list) else dc_bboxes
-            overlaps_dt_dc = image_box_overlap(dt_bboxes, dc, 0)
-            for i in range(dc.shape[0]):
-                for j in range(det_size):
-                    if (assigned_detection[j] or ignored_det[j] in (-1, 1)
-                            or ignored_threshold[j]):
-                        continue
-                    if overlaps_dt_dc[j, i] > min_overlap:
-                        assigned_detection[j] = True
-                        nstuff += 1
-        fp -= nstuff
+        cand = free & (overlaps[:, g] > min_overlap)
+        pick = -1
+        if compute_fp:
+            real_ids = np.flatnonzero(cand & real)
+            if real_ids.size:
+                pick = int(real_ids[np.argmax(overlaps[real_ids, g])])
+            else:
+                ign_ids = np.flatnonzero(cand)
+                if ign_ids.size:
+                    pick = int(ign_ids[0])
+        else:
+            ids = np.flatnonzero(cand)
+            if ids.size:
+                pick = int(ids[np.argmax(scores[ids])])
+        if pick < 0:
+            if ignored_gt[g] == 0:
+                fn += 1
+            continue
+        free[pick] = False
+        if ignored_gt[g] == 1 or ignored_det[pick] == 1:
+            continue  # consumed without scoring
+        tp += 1
+        tp_scores.append(scores[pick])
         if compute_aos:
-            tmp = np.zeros((fp + delta_idx,))
-            for i in range(delta_idx):
-                tmp[i + fp] = (1.0 + np.cos(delta[i])) / 2.0
-            similarity = np.sum(tmp) if (tp > 0 or fp > 0) else -1.0
-    return tp, fp, fn, similarity, thresholds[:thresh_idx]
+            aos_terms.append(
+                (1.0 + np.cos(gt_datas[g, 4] - dt_datas[pick, 4])) / 2.0)
+
+    fp = 0
+    similarity = 0.0
+    if compute_fp:
+        stray = free & real
+        fp = int(stray.sum())
+        if metric == 0 and len(dc_bboxes) > 0:
+            dc = (np.stack(dc_bboxes, 0) if isinstance(dc_bboxes, list)
+                  else np.asarray(dc_bboxes))
+            dc_hit = image_box_overlap(
+                dt_datas[:, :4], dc, 0).max(axis=1) > min_overlap
+            fp -= int((stray & dc_hit).sum())
+        if compute_aos:
+            similarity = (float(np.sum(aos_terms))
+                          if (tp > 0 or fp > 0) else -1.0)
+    return tp, fp, fn, similarity, np.asarray(tp_scores, dtype=np.float64)
 
 
 def _prepare_data(gt_annos, dt_annos, current_class, difficulty,

@@ -76,6 +76,34 @@ class TestSyntheticPrep:
         # pixel heights straddle the 40px easy gate
         assert (hts < 40).any() and (hts > 40).any()
 
+    def test_pedestrian_blob_follows_yaw(self):
+        """Blobs must rotate with the label yaw and carry a front/back
+        asymmetry so heading (incl. sign) is observable — without this the
+        rotation-regression target is label noise and the direction
+        classifier (rot_gt>0 target, reference voxelnet.py:38-46) cannot
+        learn (VERDICT r2 weak #1)."""
+        from pillars_tpu.geometry import np_boxes as nb
+
+        rng = np.random.RandomState(11)
+        dots = []
+        for _ in range(100):
+            box = np.array(
+                [3.0, 0.0, -1.45,
+                 rng.uniform(0.5, 0.7), rng.uniform(0.6, 1.0),
+                 rng.uniform(1.5, 1.9), rng.uniform(-np.pi, np.pi)],
+                dtype=np.float32)
+            pts = synthetic._pedestrian_points(rng, box, n=300)
+            inside = nb.points_in_rbbox(pts, box[None]).ravel()
+            assert inside.mean() > 0.95, "blob escaped its rotated box"
+            # the face cluster marks the forward direction: local +x maps
+            # to world (cos r, -sin r) under the clockwise-positive
+            # corner convention (np_boxes.rotation_2d)
+            head = pts[pts[:, 2] > box[2] + 0.82 * box[5]]
+            off = head[:, :2].mean(0) - box[:2]
+            fwd = np.array([np.cos(box[6]), -np.sin(box[6])])
+            dots.append(off @ fwd / (np.linalg.norm(off) + 1e-9))
+        assert min(dots) > 0.8, min(dots)
+
     def test_zero_gt_scene_loss_defined(self):
         """If the bounded sampler retry exhausts (pipeline.py:_augment) a
         zero-GT scene reaches the loss; unlike the reference's unbounded

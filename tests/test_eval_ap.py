@@ -241,6 +241,154 @@ class TestNativeMatcherParity:
         np.testing.assert_array_equal(aos_n, aos_p)
 
 
+def _matcher_oracle(overlaps, gt_datas, dt_datas, ignored_gt, ignored_det,
+                    dc_bboxes, metric, min_overlap, thresh=0.0,
+                    compute_fp=False, compute_aos=False):
+    """TEST ORACLE ONLY: line-faithful transcription of the reference's
+    greedy matcher (second/utils/eval.py:166-286, compute_statistics_jit),
+    kept here to pin kitti_ap.compute_statistics — which is structured
+    differently (vectorized per-GT candidate selection) — to the de-facto
+    KITTI-AP matching semantics."""
+    det_size = dt_datas.shape[0]
+    gt_size = gt_datas.shape[0]
+    dt_scores = dt_datas[:, -1]
+    dt_alphas = dt_datas[:, 4]
+    gt_alphas = gt_datas[:, 4]
+    dt_bboxes = dt_datas[:, :4]
+    NO_DETECTION = kitti_ap.NO_DETECTION
+
+    assigned_detection = [False] * det_size
+    ignored_threshold = [False] * det_size
+    if compute_fp:
+        for i in range(det_size):
+            if dt_scores[i] < thresh:
+                ignored_threshold[i] = True
+    tp, fp, fn, similarity = 0, 0, 0, 0.0
+    thresholds = np.zeros((gt_size,))
+    thresh_idx = 0
+    delta = np.zeros((gt_size,))
+    delta_idx = 0
+    for i in range(gt_size):
+        if ignored_gt[i] == -1:
+            continue
+        det_idx = -1
+        valid_detection = NO_DETECTION
+        max_overlap = 0.0
+        assigned_ignored_det = False
+        for j in range(det_size):
+            if ignored_det[j] == -1 or assigned_detection[j] or \
+                    ignored_threshold[j]:
+                continue
+            overlap = overlaps[j, i]
+            dt_score = dt_scores[j]
+            if (not compute_fp and overlap > min_overlap
+                    and dt_score > valid_detection):
+                det_idx = j
+                valid_detection = dt_score
+            elif (compute_fp and overlap > min_overlap
+                  and (overlap > max_overlap or assigned_ignored_det)
+                  and ignored_det[j] == 0):
+                max_overlap = overlap
+                det_idx = j
+                valid_detection = 1
+                assigned_ignored_det = False
+            elif (compute_fp and overlap > min_overlap
+                  and valid_detection == NO_DETECTION
+                  and ignored_det[j] == 1):
+                det_idx = j
+                valid_detection = 1
+                assigned_ignored_det = True
+        if valid_detection == NO_DETECTION and ignored_gt[i] == 0:
+            fn += 1
+        elif (valid_detection != NO_DETECTION
+              and (ignored_gt[i] == 1 or ignored_det[det_idx] == 1)):
+            assigned_detection[det_idx] = True
+        elif valid_detection != NO_DETECTION:
+            tp += 1
+            thresholds[thresh_idx] = dt_scores[det_idx]
+            thresh_idx += 1
+            if compute_aos:
+                delta[delta_idx] = gt_alphas[i] - dt_alphas[det_idx]
+                delta_idx += 1
+            assigned_detection[det_idx] = True
+    if compute_fp:
+        for i in range(det_size):
+            if not (assigned_detection[i] or ignored_det[i] == -1
+                    or ignored_det[i] == 1 or ignored_threshold[i]):
+                fp += 1
+        nstuff = 0
+        if metric == 0 and len(dc_bboxes) > 0:
+            dc = (np.stack(dc_bboxes, 0) if isinstance(dc_bboxes, list)
+                  else dc_bboxes)
+            overlaps_dt_dc = kitti_ap.image_box_overlap(dt_bboxes, dc, 0)
+            for i in range(dc.shape[0]):
+                for j in range(det_size):
+                    if (assigned_detection[j] or ignored_det[j] in (-1, 1)
+                            or ignored_threshold[j]):
+                        continue
+                    if overlaps_dt_dc[j, i] > min_overlap:
+                        assigned_detection[j] = True
+                        nstuff += 1
+        fp -= nstuff
+        if compute_aos:
+            tmp = np.zeros((fp + delta_idx,))
+            for i in range(delta_idx):
+                tmp[i + fp] = (1.0 + np.cos(delta[i])) / 2.0
+            similarity = np.sum(tmp) if (tp > 0 or fp > 0) else -1.0
+    return tp, fp, fn, similarity, thresholds[:thresh_idx]
+
+
+class TestMatcherDifferential:
+    """Randomized differential sweep: the restructured matcher must agree
+    with the line-faithful reference-loop oracle on every output over
+    1000+ crafted frames (ties, ignored GT/dets, DontCare regions,
+    thresholds, both modes, AOS)."""
+
+    def _frame(self, rng):
+        n_gt = rng.randint(0, 9)
+        n_dt = rng.randint(0, 12)
+        gt = np.zeros((n_gt, 5))
+        gt[:, :4] = rng.uniform(0, 100, (n_gt, 4))
+        gt[:, 4] = rng.uniform(-np.pi, np.pi, n_gt)
+        dt = np.zeros((n_dt, 6))
+        dt[:, :4] = rng.uniform(0, 100, (n_dt, 4))
+        dt[:, 4] = rng.uniform(-np.pi, np.pi, n_dt)
+        # quantized scores: force ties in both score and overlap
+        dt[:, 5] = rng.randint(0, 6, n_dt) / 5.0
+        overlaps = rng.randint(0, 8, (n_dt, n_gt)) / 8.0
+        ignored_gt = rng.choice([-1, 0, 0, 0, 1], n_gt)
+        ignored_det = rng.choice([-1, 0, 0, 0, 1], n_dt)
+        n_dc = rng.randint(0, 3)
+        dc = [rng.uniform(0, 100, 4) for _ in range(n_dc)]
+        for b in dc:
+            b[2:] = b[:2] + np.abs(b[2:] - b[:2]) + 1.0
+        return overlaps, gt, dt, ignored_gt, ignored_det, dc
+
+    def test_matches_reference_loop(self):
+        rng = np.random.RandomState(1234)
+        checked = 0
+        for trial in range(1200):
+            overlaps, gt, dt, igt, idet, dc = self._frame(rng)
+            metric = rng.randint(0, 3)
+            min_overlap = rng.choice([0.0, 0.25, 0.5, 0.625, 0.75])
+            compute_fp = bool(rng.randint(0, 2))
+            thresh = rng.choice([0.0, 0.2, 0.4, 0.8])
+            compute_aos = compute_fp and bool(rng.randint(0, 2))
+            got = kitti_ap.compute_statistics(
+                overlaps, gt, dt, igt, idet, dc, metric, min_overlap,
+                thresh=thresh, compute_fp=compute_fp,
+                compute_aos=compute_aos)
+            want = _matcher_oracle(
+                overlaps, gt, dt, igt, idet, dc, metric, min_overlap,
+                thresh=thresh, compute_fp=compute_fp,
+                compute_aos=compute_aos)
+            assert got[:3] == want[:3], (trial, got[:3], want[:3])
+            assert got[3] == pytest.approx(want[3]), trial
+            np.testing.assert_array_equal(got[4], want[4], err_msg=str(trial))
+            checked += 1
+        assert checked == 1200
+
+
 class TestGetThresholdsClosedForm:
     """Closed-form get_thresholds must match the line-faithful loop twin."""
 
