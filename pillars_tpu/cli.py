@@ -188,6 +188,21 @@ def cmd_capture(args):
 
     from pillars_tpu.data import capture as cap
 
+    if args.mode == "annotate":
+        # interactive keyboard annotation over already-captured clouds
+        # (reference realsense_make_dataset.py:622-801: enter save, m save
+        # empty, h skip, z back, x quit; wasd/qe/rf edit the box live)
+        from pillars_tpu.viz.publisher import make_publisher
+
+        pub = make_publisher(args.publisher, out_dir=args.viz_dir)
+        stats = cap.annotate_dataset(
+            args.root, cap.stdin_key_source(), split=args.split,
+            publisher=pub, start_idx=args.start, verbose=True)
+        print(f"[capture] annotate done: {stats['annotated']} annotated, "
+              f"{stats['empty']} empty, {stats['skipped']} skipped "
+              f"(stopped at frame {stats['last_index']})")
+        return
+
     def frame_iter():
         if args.source == "synthetic":
             from pillars_tpu.data.synthetic import make_scene
@@ -387,10 +402,24 @@ def main(argv: Optional[List[str]] = None):
         help="dataset capture + few-annotation trick (the reference's "
              "scripts/realsense_make_dataset.py)")
     sp.add_argument("--root", required=True)
-    sp.add_argument("--mode", choices=["predefined", "unannotated"],
+    sp.add_argument("--mode",
+                    choices=["predefined", "unannotated", "annotate"],
                     default="predefined",
                     help="predefined = live_mode_off (every Nth cloud gets "
-                         "the predefined box); unannotated = live_mode_on")
+                         "the predefined box); unannotated = live_mode_on; "
+                         "annotate = interactive keyboard annotation over "
+                         "the saved clouds of --root (reference "
+                         "callback_real_annotation_anno)")
+    sp.add_argument("--split", default="training",
+                    choices=["training", "testing"],
+                    help="annotate mode: which split's clouds to annotate")
+    sp.add_argument("--publisher", default="auto",
+                    choices=["auto", "ros", "offline", "null"],
+                    help="annotate mode: where live feedback goes (ros = "
+                         "RVIZ topics debug_points/debug_load_data_bb; "
+                         "offline records to --viz-dir)")
+    sp.add_argument("--viz-dir", default=None,
+                    help="annotate mode: out dir for --publisher offline")
     sp.add_argument("--source", default="synthetic",
                     help="synthetic | replay:<dataset_root> | ros")
     sp.add_argument("--rotation", type=float, default=None,

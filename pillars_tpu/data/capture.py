@@ -69,11 +69,15 @@ class AnnotationBox:
 
 class AnnotationSession:
     """Keyboard-style incremental box editing (reference wasd/qe bindings,
-    realsense_make_dataset.py:744-801). Drive with .apply('w') etc. or set
-    fields directly."""
+    realsense_make_dataset.py:744-801; up/down there move the vertical axis —
+    bound to r/f here so a plain terminal suffices). Drive with .apply('w')
+    etc. or set fields directly. Yaw wraps to [-pi, pi] like the reference's
+    q/e handlers."""
 
     STEP_POS = 0.05
     STEP_ROT = np.pi / 16
+
+    EDIT_KEYS = "wsadqerf"
 
     def __init__(self, box: Optional[AnnotationBox] = None):
         self.box = box or AnnotationBox()
@@ -90,8 +94,12 @@ class AnnotationSession:
             b.y -= self.STEP_POS
         elif key == "q":
             b.yaw += self.STEP_ROT
+            if b.yaw > np.pi:
+                b.yaw -= 2 * np.pi
         elif key == "e":
             b.yaw -= self.STEP_ROT
+            if b.yaw < -np.pi:
+                b.yaw += 2 * np.pi
         elif key == "r":
             b.z += self.STEP_POS
         elif key == "f":
@@ -169,3 +177,136 @@ def capture_unannotated(frames: Iterable[np.ndarray], root: str,
         if max_frames and saved >= max_frames:
             break
     return saved
+
+
+# ---------------------------------------------------------------------------
+# Interactive annotation (reference callback_real_annotation_anno,
+# realsense_make_dataset.py:622-801): walk the saved clouds of a split,
+# publish each cloud + the candidate box for live visual feedback, edit the
+# box from the keyboard, and commit per-frame KITTI labels.
+# ---------------------------------------------------------------------------
+
+COMMIT_KEYS = ("\r", "\n", "enter")   # reference: enter -> save_anno()
+BACK_KEY = "z"                        # reference: z -> counter -= 2 (net -1)
+SKIP_KEY = "h"                        # reference: h -> next, nothing written
+EMPTY_KEY = "m"                       # reference: m -> save_anno(empty=True)
+QUIT_KEY = "x"                        # new: clean exit (reference: ctrl-c)
+
+
+def stdin_key_source():
+    """Yield single keypresses. On a TTY, switches stdin to cbreak (raw)
+    mode so keys arrive without Enter; otherwise reads stdin byte-wise
+    (piped scripts — a newline then acts as the commit key, so a line of
+    edits ends with a commit, matching COMMIT_KEYS)."""
+    import sys
+
+    if sys.stdin.isatty():
+        import termios
+        import tty
+
+        fd = sys.stdin.fileno()
+        old = termios.tcgetattr(fd)
+        try:
+            tty.setcbreak(fd)
+            while True:
+                ch = sys.stdin.read(1)
+                if not ch:
+                    return
+                yield ch
+        finally:
+            termios.tcsetattr(fd, termios.TCSADRAIN, old)
+    else:
+        while True:
+            ch = sys.stdin.read(1)
+            if not ch:
+                return
+            yield ch
+
+
+def annotate_dataset(root: str, keys: Iterable[str], split: str = "training",
+                     publisher=None, start_idx: int = 0,
+                     session: Optional[AnnotationSession] = None,
+                     verbose: bool = False) -> dict:
+    """Interactive annotation REPL over the saved clouds of ``root/split``.
+
+    Reference semantics (realsense_make_dataset.py:622-801): clouds are the
+    sorted ``velodyne/*.pkl`` of the split; the candidate box PERSISTS
+    across frames (consecutive captures move little, so each frame starts
+    from the previous answer — the tool's whole "semi-automatic" point);
+    every edit republishes the box; enter commits the current box as the
+    frame's label (+calib), ``m`` commits an empty label, ``h`` moves on
+    without writing, ``z`` steps back one frame, ``x``/EOF ends the
+    session. Edits are AnnotationSession keys (wasd move, q/e yaw with
+    [-pi, pi] wrap, r/f vertical).
+
+    ``keys``: any iterable of key strings — ``stdin_key_source()`` for a
+    live terminal, a list for scripted tests. ``publisher``: a
+    viz.publisher-style object; clouds go to ``debug_points`` and candidate
+    boxes to ``debug_load_data_bb`` (the reference's topics). Returns
+    ``{"annotated": n, "empty": n, "skipped": n, "last_index": i}``.
+    """
+    from pillars_tpu.data.synthetic import _write_calib, _write_kitti_label
+    from pillars_tpu.viz.publisher import BoxArray, NullPublisher
+
+    pub = publisher or NullPublisher()
+    session = session or AnnotationSession()
+    rootp = pathlib.Path(root)
+    cloud_dir = rootp / split / "velodyne"
+    label_dir = rootp / split / "label_2"
+    calib_dir = rootp / split / "calib"
+    label_dir.mkdir(parents=True, exist_ok=True)
+    calib_dir.mkdir(parents=True, exist_ok=True)
+    sids = sorted(p.stem for p in cloud_dir.glob("*.pkl"))
+    if not sids:
+        raise FileNotFoundError(f"no clouds under {cloud_dir}")
+
+    def _publish_box():
+        pub.publish_boxes("debug_load_data_bb", BoxArray.from_boxes7(
+            session.box.as_array()[None]))
+
+    def _commit(sid: str, empty: bool) -> None:
+        boxes = (np.zeros((0, 7), np.float32) if empty
+                 else session.box.as_array()[None])
+        _write_kitti_label(label_dir / f"{sid}.txt", boxes)
+        _write_calib(calib_dir / f"{sid}.txt")
+
+    stats = {"annotated": 0, "empty": 0, "skipped": 0, "last_index": start_idx}
+    key_it = iter(keys)
+    i = max(0, int(start_idx))
+    published = -1
+    while i < len(sids):
+        sid = sids[i]
+        if published != i:
+            with open(cloud_dir / f"{sid}.pkl", "rb") as f:
+                pub.publish_points("debug_points",
+                                   np.asarray(pickle.load(f), np.float32))
+            _publish_box()
+            published = i
+            if verbose:
+                b = session.box
+                print(f"[annotate] frame {sid} ({i + 1}/{len(sids)}) box "
+                      f"x={b.x:.2f} y={b.y:.2f} z={b.z:.2f} yaw={b.yaw:.2f} "
+                      f"| wasd/qe/rf edit, enter save, m empty, h skip, "
+                      f"z back, x quit")
+        key = next(key_it, None)
+        if key is None or key == QUIT_KEY:
+            break
+        if key in COMMIT_KEYS:
+            _commit(sid, empty=False)
+            stats["annotated"] += 1
+            i += 1
+        elif key == EMPTY_KEY:
+            _commit(sid, empty=True)
+            stats["empty"] += 1
+            i += 1
+        elif key == SKIP_KEY:
+            stats["skipped"] += 1
+            i += 1
+        elif key == BACK_KEY:
+            i = max(0, i - 1)
+            published = -1
+        elif key in AnnotationSession.EDIT_KEYS:
+            session.apply(key)
+            _publish_box()
+    stats["last_index"] = i
+    return stats

@@ -111,3 +111,82 @@ class TestCapture:
             infos = pickle.load(f)
         assert len(infos) == 4
         assert infos[0]["annos"]["name"][0] == "Pedestrian"
+
+    def test_annotate_scripted_keys(self, tmp_path, rng):
+        """Interactive annotation loop driven by a scripted key sequence
+        (reference callback_real_annotation_anno semantics,
+        realsense_make_dataset.py:622-801): edits move the candidate box,
+        enter commits a label for THAT frame, m commits an empty label,
+        h skips without writing, z steps back and overwrites."""
+        from pillars_tpu.data.kitti_infos import get_label_anno
+        from pillars_tpu.geometry import np_boxes as nb
+        from pillars_tpu.data.synthetic import RECT, VELO2CAM
+
+        # 3 captured clouds, no labels yet
+        frames = [rng.uniform(0.5, 3.0, (200, 3)).astype(np.float32)
+                  for _ in range(3)]
+        capture.capture_unannotated(frames, str(tmp_path),
+                                    already_lidar=True)
+        root, split = str(tmp_path), "testing"
+        s = capture.AnnotationSession()
+        start = s.box.as_array().copy()
+
+        # frame 0: +3x, +1 yaw step, commit; frame 1: empty; frame 2: skip
+        keys = list("www") + ["q", "\n", "m", "h"]
+        pub = RecordingPublisher()
+        stats = capture.annotate_dataset(root, keys, split=split,
+                                         publisher=pub)
+        assert stats == {"annotated": 1, "empty": 1, "skipped": 1,
+                         "last_index": 3}
+        # frame 0 label: box moved by the scripted edits, lidar->camera
+        anno = get_label_anno(str(tmp_path / split / "label_2"
+                                  / "000000.txt"))
+        assert anno["name"][0] == "Pedestrian"
+        want_lidar = start.copy()
+        want_lidar[0] += 3 * capture.AnnotationSession.STEP_POS
+        want_lidar[6] += capture.AnnotationSession.STEP_ROT
+        got_lidar = nb.box_camera_to_lidar(
+            np.concatenate([anno["location"],
+                            anno["dimensions"],
+                            anno["rotation_y"][:, None]], axis=1),
+            RECT, VELO2CAM)[0]
+        np.testing.assert_allclose(got_lidar[:3], want_lidar[:3], atol=2e-2)
+        np.testing.assert_allclose(got_lidar[6] % (2 * np.pi),
+                                   want_lidar[6] % (2 * np.pi), atol=2e-2)
+        # frame 1: committed empty
+        assert (tmp_path / split / "label_2" / "000001.txt"
+                ).read_text().strip() == ""
+        # frame 2: skipped -> label content unchanged from capture time
+        # (annotate wrote nothing for it beyond the original empty file)
+        # publisher saw clouds and candidate boxes on the reference topics
+        assert "debug_points" in pub.topics
+        assert "debug_load_data_bb" in pub.topics
+        assert pub.topics["debug_load_data_bb"] >= 4  # initial + 4 edits
+
+    def test_annotate_back_key_overwrites(self, tmp_path, rng):
+        """z returns to the previous frame; a new commit overwrites its
+        label (reference 'back' branch, realsense_make_dataset.py:780-783)."""
+        frames = [rng.uniform(0.5, 3.0, (100, 3)).astype(np.float32)
+                  for _ in range(2)]
+        capture.capture_unannotated(frames, str(tmp_path),
+                                    already_lidar=True)
+        keys = ["\n", "z", "w", "w", "\n", "x"]
+        stats = capture.annotate_dataset(str(tmp_path), keys,
+                                         split="testing")
+        assert stats["annotated"] == 2  # frame 0 committed twice
+        assert stats["last_index"] == 1  # quit while on frame 1
+        first = (tmp_path / "testing" / "label_2" / "000000.txt").read_text()
+        assert "Pedestrian" in first
+
+
+class RecordingPublisher:
+    """Counts publishes per topic (viz.publisher duck type)."""
+
+    def __init__(self):
+        self.topics = {}
+
+    def publish_boxes(self, topic, boxes):
+        self.topics[topic] = self.topics.get(topic, 0) + 1
+
+    def publish_points(self, topic, points):
+        self.topics[topic] = self.topics.get(topic, 0) + 1
