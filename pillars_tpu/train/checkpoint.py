@@ -90,8 +90,10 @@ def load_params(path: str):
 # reference .h5 import (Keras save_weights layout)
 # ---------------------------------------------------------------------------
 
-def _keras_h5_arrays(h5path: str) -> Dict[str, np.ndarray]:
-    """Flatten a Keras save_weights .h5 into {path: array}."""
+def _keras_h5_arrays(h5path: str) -> Tuple[Dict[str, np.ndarray], bool]:
+    """Flatten a Keras save_weights .h5 into ({path: array}, keras_tagged)
+    where keras_tagged is True when the file carries Keras save_weights
+    attrs (layer_names / keras_version / backend) at the root."""
     import h5py
 
     out = {}
@@ -102,7 +104,10 @@ def _keras_h5_arrays(h5path: str) -> Dict[str, np.ndarray]:
 
     with h5py.File(h5path, "r") as f:
         f.visititems(visit)
-    return out
+        keras_tagged = any(k in f.attrs
+                           for k in ("layer_names", "keras_version",
+                                     "backend"))
+    return out, keras_tagged
 
 
 def _natural_key(s: str):
@@ -128,7 +133,8 @@ def _collect_bn(group_arrays):
     return out
 
 
-def import_reference_h5(h5path: str, variables, strict: bool = True) -> Any:
+def import_reference_h5(h5path: str, variables, strict: bool = True,
+                        deconv_orientation: str = "auto") -> Any:
     """Map a reference VoxelNet Keras .h5 checkpoint (save_weights layout)
     onto this framework's variables pytree.
 
@@ -152,10 +158,26 @@ def import_reference_h5(h5path: str, variables, strict: bool = True) -> Any:
     so this mapping is validated against self-built Keras-layout files
     (tests/test_h5_import.py) but not yet against a genuine reference file
     — with ``strict=True`` any unconsumed or unmatched weight raises.
+
+    ``deconv_orientation``: Conv2DTranspose kernel convention in the file —
+      * "keras": (k, k, O, I), gradient-of-conv orientation; converted with
+        a spatial flip + channel transpose (settled numerically,
+        tests/test_h5_import.py::TestConv2DTransposeOrientation);
+      * "flax": (k, k, I, O), used as-is;
+      * "auto" (default): inferred per file — non-square (I != O) kernels
+        identify the convention unambiguously by shape, and one file has
+        one convention, so a single non-square deconv settles all of them;
+        files whose deconvs are ALL square fall back to the Keras
+        save_weights root attrs (layer_names/keras_version), and when even
+        that is absent the import FAILS LOUDLY rather than silently
+        guessing a kernel orientation that would corrupt every decode.
     """
     import copy
 
-    arrays = _keras_h5_arrays(h5path)
+    if deconv_orientation not in ("auto", "keras", "flax"):
+        raise ValueError(f"deconv_orientation {deconv_orientation!r} not in "
+                         "('auto', 'keras', 'flax')")
+    arrays, keras_tagged = _keras_h5_arrays(h5path)
     if not arrays:
         raise ValueError(f"no datasets found in {h5path}")
 
@@ -251,34 +273,68 @@ def import_reference_h5(h5path: str, variables, strict: bool = True) -> Any:
             bstats[f"bn{li}"]["var"] = bn["var"]
 
     # ---- deconvs ---------------------------------------------------------
+    # pass 1: collect all three kernels, then resolve the file's ONE
+    # Conv2DTranspose orientation (see the docstring) before writing any.
+    dec_entries = []
+    votes = set()
     for di in (1, 2, 3):
         dec = params["rpn"][f"deconv{di}"]
-        dstats = stats["rpn"][f"deconv{di}"]
         grp = take_group(lambda n, di=di: f"deconv{di}" in n, f"deconv{di}")
-        kshape = dec["deconv"]["kernel"].shape  # (k, k, I, O)
+        kshape = dec["deconv"]["kernel"].shape  # flax layout (k, k, I, O)
         kernels = [(n, a) for n, a in grp if a.ndim == 4]
         if len(kernels) != 1 and strict:
             raise ValueError(f"h5 import: deconv{di}: {len(kernels)} kernels")
         name, arr = kernels[0]
         keras_shape = (kshape[0], kshape[1], kshape[3], kshape[2])
-        if arr.shape == keras_shape:
+        if arr.shape not in (kshape, keras_shape) and strict:
+            raise ValueError(
+                f"h5 import: deconv{di} kernel shape {arr.shape} "
+                f"!= {kshape} ({name})")
+        if kshape[2] != kshape[3]:  # non-square: shape identifies it
+            votes.add("keras" if arr.shape == keras_shape else "flax")
+        dec_entries.append((di, arr, kshape, grp))
+
+    if deconv_orientation == "auto":
+        if len(votes) > 1:
+            raise ValueError(
+                "h5 import: deconv kernels mix (O, I) and (I, O) channel "
+                "orders within one file — refusing to guess; pass "
+                "deconv_orientation='keras' or 'flax' explicitly")
+        if votes:
+            orientation = votes.pop()
+        elif keras_tagged:
+            orientation = "keras"  # save_weights attrs mark a Keras file
+        else:
+            raise ValueError(
+                "h5 import: every Conv2DTranspose kernel is square "
+                "(in_ch == out_ch) and the file carries no Keras "
+                "save_weights attrs, so the kernel orientation cannot be "
+                "inferred; a wrong guess would silently corrupt every "
+                "decode. Pass deconv_orientation='keras' (TF/Keras "
+                "(k, k, O, I) gradient-of-conv kernels) or 'flax' "
+                "((k, k, I, O), used as-is).")
+    else:
+        orientation = deconv_orientation
+        if votes and {orientation} != votes:
+            raise ValueError(
+                f"h5 import: deconv_orientation={orientation!r} was "
+                f"requested but a non-square deconv kernel has the "
+                f"{votes.pop()!r} channel order")
+
+    for di, arr, kshape, grp in dec_entries:
+        dec = params["rpn"][f"deconv{di}"]
+        dstats = stats["rpn"][f"deconv{di}"]
+        if orientation == "keras":
             # Keras Conv2DTranspose kernels are (k, k, O, I) with the
             # gradient-of-conv orientation: flax's ConvTranspose
             # (lax.conv_transpose, transpose_kernel=False) additionally
             # needs the SPATIAL axes flipped, not just the channel
             # transpose (settled numerically:
             # tests/test_h5_import.py::TestConv2DTransposeOrientation).
-            # For square I == O the shapes are ambiguous; a genuine Keras
-            # file is always (O, I), so Keras orientation wins.
             dec["deconv"]["kernel"] = np.transpose(
                 arr[::-1, ::-1], (0, 1, 3, 2))
-        elif arr.shape == kshape:
-            # channels match flax order but not Keras: not a Keras file
+        else:
             dec["deconv"]["kernel"] = np.asarray(arr)
-        elif strict:
-            raise ValueError(
-                f"h5 import: deconv{di} kernel shape {arr.shape} "
-                f"!= {kshape} ({name})")
         bn = _collect_bn([(n, a) for n, a in grp if a.ndim == 1])
         dec["bn"]["scale"] = bn["scale"]
         dec["bn"]["bias"] = bn["bias"]

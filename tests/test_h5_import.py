@@ -34,7 +34,8 @@ def _keras_deconv_to_flax(kt):
     return np.transpose(kt[::-1, ::-1], (0, 1, 3, 2))
 
 
-def build_fake_keras_h5(path, variables, rng, variant="plain"):
+def build_fake_keras_h5(path, variables, rng, variant="plain",
+                        deconv_layout="keras"):
     """Write a Keras-layout h5 whose arrays are RANDOM but correctly shaped
     (with Keras's kernel layouts), and return the expected flax pytree.
 
@@ -131,13 +132,18 @@ def build_fake_keras_h5(path, variables, rng, variant="plain"):
         dec = params["rpn"][f"deconv{bi}"]
         dstats = stats["rpn"][f"deconv{bi}"]
         k, _, i, o = dec["deconv"]["kernel"].shape
-        kt = rnd((k, k, o, i))  # Keras Conv2DTranspose layout (O, I)
         dcn = (_auto("conv2d_transpose", dec_n) if use_global
                else "conv2d_transpose")
         dbn = (_auto("batch_normalization", bn_n) if use_global
                else "batch_normalization")
-        add(f"{rpn_top}/deconv{bi}/{dcn}/kernel:0", kt)
-        dec["deconv"]["kernel"] = _keras_deconv_to_flax(kt)
+        if deconv_layout == "keras":
+            kt = rnd((k, k, o, i))  # Keras Conv2DTranspose layout (O, I)
+            add(f"{rpn_top}/deconv{bi}/{dcn}/kernel:0", kt)
+            dec["deconv"]["kernel"] = _keras_deconv_to_flax(kt)
+        else:  # flax layout (I, O): imported verbatim
+            kt = rnd((k, k, i, o))
+            add(f"{rpn_top}/deconv{bi}/{dcn}/kernel:0", kt)
+            dec["deconv"]["kernel"] = kt
         for keras_name, target in (("gamma", "scale"), ("beta", "bias"),
                                    ("moving_mean", "mean"),
                                    ("moving_variance", "var")):
@@ -194,6 +200,84 @@ class TestH5Import:
             np.testing.assert_allclose(
                 flat_i[key], val, rtol=1e-6,
                 err_msg=f"{variant}: {jax.tree_util.keystr(key)}")
+
+    @pytest.mark.parametrize("variant", VARIANTS)
+    def test_roundtrip_flax_orientation(self, tmp_path, rng, variant):
+        """Files whose Conv2DTranspose kernels are already (k, k, I, O)
+        (flax-layout exports) must auto-detect from the non-square deconvs
+        and import the kernels untouched."""
+        cfg = small_cfg()
+        det = PillarsDetector(cfg)
+        variables = det.init(jax.random.PRNGKey(0), batch_size=1)
+        path = str(tmp_path / f"flax_{variant}.h5")
+        expected = build_fake_keras_h5(path, variables, rng, variant,
+                                       deconv_layout="flax")
+        imported = import_reference_h5(path, variables, strict=True)
+        flat_e = jax.tree_util.tree_leaves_with_path(expected)
+        flat_i = dict(jax.tree_util.tree_leaves_with_path(imported))
+        for key, val in flat_e:
+            np.testing.assert_array_equal(
+                flat_i[key], val,
+                err_msg=f"{variant}: {jax.tree_util.keystr(key)}")
+
+    def _all_square_setup(self, tmp_path, rng, variant="plain",
+                          deconv_layout="keras"):
+        """Config whose three deconvs are all I == O (the genuinely
+        shape-ambiguous case)."""
+        cfg = small_cfg()
+        cfg = cfg.override("model.rpn.num_upsample_filters", [64, 128, 256])
+        det = PillarsDetector(cfg)
+        variables = det.init(jax.random.PRNGKey(0), batch_size=1)
+        path = str(tmp_path / "square.h5")
+        expected = build_fake_keras_h5(path, variables, rng, variant,
+                                       deconv_layout=deconv_layout)
+        return path, variables, expected
+
+    def test_all_square_unmarked_fails_loudly(self, tmp_path, rng):
+        """All-square deconvs + no Keras attrs: auto must REFUSE instead of
+        silently guessing an orientation (VERDICT r2 next #6)."""
+        path, variables, _ = self._all_square_setup(tmp_path, rng)
+        with pytest.raises(ValueError, match="orientation"):
+            import_reference_h5(path, variables, strict=True)
+
+    def test_all_square_keras_attrs_resolve(self, tmp_path, rng):
+        """The save_weights root attrs mark a Keras file: ambiguity resolved."""
+        path, variables, expected = self._all_square_setup(
+            tmp_path, rng, variant="shuffled_attrs")
+        imported = import_reference_h5(path, variables, strict=True)
+        flat_e = jax.tree_util.tree_leaves_with_path(expected)
+        flat_i = dict(jax.tree_util.tree_leaves_with_path(imported))
+        for key, val in flat_e:
+            np.testing.assert_allclose(
+                flat_i[key], val, rtol=1e-6,
+                err_msg=jax.tree_util.keystr(key))
+
+    @pytest.mark.parametrize("layout", ["keras", "flax"])
+    def test_all_square_explicit_override(self, tmp_path, rng, layout):
+        path, variables, expected = self._all_square_setup(
+            tmp_path, rng, deconv_layout=layout)
+        imported = import_reference_h5(path, variables, strict=True,
+                                       deconv_orientation=layout)
+        flat_e = jax.tree_util.tree_leaves_with_path(expected)
+        flat_i = dict(jax.tree_util.tree_leaves_with_path(imported))
+        for key, val in flat_e:
+            np.testing.assert_allclose(
+                flat_i[key], val, rtol=1e-6,
+                err_msg=f"{layout}: {jax.tree_util.keystr(key)}")
+
+    def test_explicit_override_contradicting_shapes_raises(self, tmp_path,
+                                                           rng):
+        """Non-square kernels witness the real orientation; a contradicting
+        explicit override must fail, not corrupt."""
+        cfg = small_cfg()
+        det = PillarsDetector(cfg)
+        variables = det.init(jax.random.PRNGKey(0), batch_size=1)
+        path = str(tmp_path / "contradiction.h5")
+        build_fake_keras_h5(path, variables, rng, "plain",
+                            deconv_layout="keras")
+        with pytest.raises(ValueError, match="channel order"):
+            import_reference_h5(path, variables, strict=True,
+                                deconv_orientation="flax")
 
     def test_missing_weight_raises(self, tmp_path, rng):
         cfg = small_cfg()
