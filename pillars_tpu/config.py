@@ -353,6 +353,10 @@ class TrainConfig:
     log_every_steps: int = 10
     print_every_steps: int = 200
     seed: int = 0
+    # stream train-time accuracy / precision-recall@thresholds from inside
+    # the jitted step (train/metrics.py — the reference's libraries/
+    # metrics.py equivalent, which its train loop never wired up)
+    train_metrics: bool = False
 
 
 @dataclass

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import optax
 
 from pillars_tpu.models.detector import PillarsDetector
+from pillars_tpu.train import metrics as tm
 from pillars_tpu.train.optim import exponential_decay_schedule, make_optimizer
 
 
@@ -61,15 +62,25 @@ def create_train_state(detector: PillarsDetector, rng: jax.Array,
 def make_train_step(detector: PillarsDetector,
                     tx: optax.GradientTransformation,
                     anchor_area_threshold: Optional[float] = None,
-                    donate: bool = True):
-    """Returns jitted ``step(state, batch) -> (state, StepMetrics)``."""
+                    donate: bool = True, with_metrics: bool = False):
+    """Returns jitted ``step(state, batch) -> (state, StepMetrics)``.
+
+    ``with_metrics=True`` (config ``train.train_metrics``) additionally
+    threads a streaming :class:`pillars_tpu.train.metrics.TrainMetricsState`
+    through the step — accuracy / precision-recall@thresholds computed
+    INSIDE the fused graph at zero host-sync cost (the reference's
+    libraries/metrics.py never ran, train.py:48 "metrics is currently not
+    used"; here it is live behind the flag). Signature becomes
+    ``step(state, tm_state, batch) -> (state, tm_state, StepMetrics,
+    running-values dict)``."""
     thr = (detector.config.train_input.anchor_area_threshold
            if anchor_area_threshold is None else anchor_area_threshold)
     schedule = exponential_decay_schedule(
         detector.config.train.optimizer,
         detector.config.train_input.batch_size)
+    num_class = detector.config.model.num_class
 
-    def step(state: TrainState, batch: Dict[str, jax.Array]):
+    def _core(state: TrainState, batch: Dict[str, jax.Array]):
         voxelized = detector.voxelize_batch(batch["points"],
                                             batch["num_points"])
         amask = detector.anchors_mask_batch(
@@ -82,9 +93,10 @@ def make_train_step(detector: PillarsDetector,
                 {"params": params, "batch_stats": state.batch_stats},
                 voxelized, True, mutable=["batch_stats"])
             out = detector.loss(preds, targets.labels, targets.bbox_targets)
-            return out.loss, (mutated["batch_stats"], out)
+            return out.loss, (mutated["batch_stats"], out, preds["cls_preds"])
 
-        grads, (new_stats, out) = jax.grad(loss_fn, has_aux=True)(state.params)
+        grads, (new_stats, out, cls_preds) = jax.grad(
+            loss_fn, has_aux=True)(state.params)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(state.step + 1, new_params, new_stats,
@@ -99,6 +111,25 @@ def make_train_step(detector: PillarsDetector,
             learning_rate=schedule(state.step),
             num_positives=jnp.sum((targets.labels > 0).astype(jnp.int32)),
         )
-        return new_state, metrics
+        return new_state, metrics, out, cls_preds, targets
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    if not with_metrics:
+        def step(state: TrainState, batch: Dict[str, jax.Array]):
+            new_state, metrics, _, _, _ = _core(state, batch)
+            return new_state, metrics
+
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    def step_m(state: TrainState, tm_state: tm.TrainMetricsState,
+               batch: Dict[str, jax.Array]):
+        new_state, metrics, out, cls_preds, targets = _core(state, batch)
+        new_tm, values = tm.update_metrics(
+            tm_state, out.cls_loss_reduced, out.loc_loss_reduced,
+            cls_preds.astype(jnp.float32), targets.labels, num_class)
+        return new_state, new_tm, metrics, values
+
+    # do NOT donate tm_state: its freshly-init'd leaves are deduplicated
+    # zeros sharing ONE buffer, and donating that buffer twice is a runtime
+    # error ("attempt to donate the same buffer twice"); the state is a
+    # handful of scalars, so donation buys nothing anyway
+    return jax.jit(step_m, donate_argnums=(0,) if donate else ())

@@ -67,16 +67,22 @@ class MetricLogger:
                     w.writerow(row)
 
     # ------------------------------------------------------------------
-    def log_train_step(self, step: int, epoch: int, m) -> None:
-        """reference log_wandb_loss (train_helper_functions.py:6-14)."""
-        self.log(step, {
+    def log_train_step(self, step: int, epoch: int, m,
+                       extra: Optional[Dict[str, float]] = None) -> None:
+        """reference log_wandb_loss (train_helper_functions.py:6-14).
+        ``extra``: e.g. the streaming train-metrics dict
+        (train/metrics.py::update_metrics) when train.train_metrics is on."""
+        row = {
             "loss_locatization": m.loc_loss_reduced,
             "loss_classification": m.cls_loss_reduced,
             "loss_direction": m.dir_loss_reduced,
             "loss": m.loss,
             "learning_rate": m.learning_rate,
             "epoch": epoch,
-        })
+        }
+        if extra:
+            row.update(extra)
+        self.log(step, row)
 
     def log_eval(self, step: int, mAP3d, mAPaos, mAPbev, score: float) -> None:
         """reference log_wandb_eval (train_helper_functions.py:18-39)."""

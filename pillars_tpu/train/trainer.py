@@ -25,6 +25,7 @@ from pillars_tpu.eval.predict_to_anno import (infos_to_gt_annos,
                                               predictions_to_annos)
 from pillars_tpu.models.detector import PillarsDetector
 from pillars_tpu.train import checkpoint as ckpt
+from pillars_tpu.train.metrics import TrainMetricsState
 from pillars_tpu.train.loop import (TrainState, create_train_state,
                                     make_train_step)
 from pillars_tpu.train.metrics_log import MetricLogger
@@ -209,7 +210,10 @@ class Trainer:
         self.state, self.tx = create_train_state(
             self.detector, jax.random.PRNGKey(cfg.train.seed),
             cfg.train_input.batch_size)
-        self.step_fn = make_train_step(self.detector, self.tx)
+        self.step_fn = make_train_step(self.detector, self.tx,
+                                       with_metrics=cfg.train.train_metrics)
+        self.tm_state = (TrainMetricsState.init()
+                         if cfg.train.train_metrics else None)
         self.evaluator = (Evaluator(cfg, self.detector)
                           if cfg.train.do_evaluate and cfg.eval_input.info_path
                           else None)
@@ -317,9 +321,15 @@ class Trainer:
                 if save_batch_file and step_count == 0:
                     with open(save_batch_file, "wb") as f:
                         pickle.dump(jax.device_get(batch), f, 2)
-                self.state, metrics = self.step_fn(self.state, batch)
+                if self.tm_state is not None:
+                    self.state, self.tm_state, metrics, tm_values = \
+                        self.step_fn(self.state, self.tm_state, batch)
+                else:
+                    self.state, metrics = self.step_fn(self.state, batch)
+                    tm_values = None
                 if step_count % cfg.train.log_every_steps == 0:
-                    self.logger.log_train_step(step_count, epoch, metrics)
+                    self.logger.log_train_step(step_count, epoch, metrics,
+                                               extra=tm_values)
                 if step_count % cfg.train.print_every_steps == 0:
                     print(f"[train] epoch {epoch} step {step_count} "
                           f"loss {float(metrics.loss):.4f} "

@@ -93,3 +93,51 @@ class TestUpdateMetrics:
             assert key in ret
             assert np.isfinite(float(ret[key]))
         assert float(st2.rpn_cls_loss.count) == 1.0
+
+
+class TestTrainStepWiring:
+    def test_step_threads_metrics_state(self):
+        """train.train_metrics=True: the fused train step must thread the
+        streaming-metrics state and return finite running values with the
+        PR-threshold keys (the reference's metrics.py was dead code,
+        train.py:48 — here it is reachable product surface)."""
+        import numpy as np
+        from pillars_tpu.config import Config
+        from pillars_tpu.models.detector import PillarsDetector
+        from pillars_tpu.train.loop import create_train_state, make_train_step
+
+        cfg = Config.default()
+        cfg = cfg.override("model.voxel.max_voxels", 256)
+        cfg = cfg.override("model.voxel.max_points", 1024)
+        cfg = cfg.override("model.target.max_gt_boxes", 4)
+        cfg = cfg.override("train.train_metrics", True)
+        det = PillarsDetector(cfg)
+        bs = 1
+        state, tx = create_train_state(det, jax.random.PRNGKey(0), bs)
+        # donate=True like the Trainer: a fresh TrainMetricsState's zero
+        # leaves share one buffer, so donating it was a runtime error
+        step = make_train_step(det, tx, donate=True, with_metrics=True)
+        rng = np.random.RandomState(0)
+        n = 200
+        points = np.zeros((bs, 1024, 3), np.float32)
+        points[:, :n, 0] = rng.uniform(0, 6.4, (bs, n))
+        points[:, :n, 1] = rng.uniform(-2.5, 2.5, (bs, n))
+        points[:, :n, 2] = rng.uniform(-2.9, 0.5, (bs, n))
+        gt = np.zeros((bs, 4, 7), np.float32)
+        gt[..., 3:6] = 1.0
+        gt[:, 0] = [3.0, 0.0, -1.5, 0.6, 0.8, 1.73, 0.3]
+        batch = dict(points=points,
+                     num_points=np.full((bs,), n, np.int32),
+                     gt_boxes=gt,
+                     gt_classes=np.ones((bs, 4), np.int32),
+                     gt_valid=np.pad(np.ones((bs, 1), bool),
+                                     ((0, 0), (0, 3))))
+        tm_state = M.TrainMetricsState.init()
+        state2, tm2, metrics, values = step(state, tm_state, batch)
+        state3, tm3, _, values3 = step(state2, tm2, batch)
+        assert np.isfinite(float(metrics.loss))
+        for key in ("rpn_acc", "cls_loss", "loc_loss", "prec@50", "rec@95"):
+            assert key in values and np.isfinite(float(values3[key]))
+        # the scalar streams actually accumulated across steps
+        assert float(tm3.rpn_cls_loss.count) == 2.0
+        assert float(tm3.rpn_acc.count) > float(tm2.rpn_acc.count)
