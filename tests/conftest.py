@@ -17,13 +17,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: repeated suite runs skip identical XLA compiles
-# (env var would be too late — sitecustomize already imported jax)
-try:
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                     "/tmp/jaxcache"))
-except Exception:
-    pass
+# (shared helper — env var alone would be too late, sitecustomize already
+# imported jax; warns instead of silently losing the cache)
+import sys  # noqa: E402
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from pillars_tpu.utils.compile_cache import set_compile_cache  # noqa: E402
+
+set_compile_cache()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
