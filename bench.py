@@ -88,14 +88,9 @@ def main():
 
     import jax
 
-    # persistent compile cache so repeated driver runs skip the remote
-    # TPU compile (env var would be too late — sitecustomize imports jax)
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                         "/tmp/jaxcache"))
-    except Exception:
-        pass
+    from pillars_tpu.utils.compile_cache import set_compile_cache
+
+    set_compile_cache()
 
     from pillars_tpu.config import Config
     from pillars_tpu.models.detector import PillarsDetector
@@ -107,12 +102,23 @@ def main():
     ms_b1 = _measure(det, variables, cfg, batch=1)
     fps = 1000.0 / ms_b1
 
+    # place the measurement on the chip's roofline (analytic FLOPs/bytes,
+    # utils/roofline.py): mfu = achieved fraction of peak matmul rate,
+    # bound = which wall the config sits against (mxu / hbm / latency)
+    from pillars_tpu.utils.roofline import roofline_report
+
+    rep = roofline_report(cfg, ms_b1, batch=1,
+                          device_kind=jax.devices()[0].device_kind)
+
     print(json.dumps({
         "metric": "pointclouds/sec/chip (e2e batch=1, device ms/cloud=%.3f)"
                   % ms_b1,
         "value": round(fps, 2),
         "unit": "clouds/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "mfu": rep["mfu"],
+        "bound": rep["bound"],
+        "model_tflops_per_cloud": round(rep["flops"] / 1e12, 6),
     }))
 
 

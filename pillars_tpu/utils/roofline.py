@@ -1,0 +1,259 @@
+"""Analytic FLOP/byte accounting and roofline classification per config.
+
+Places a measured ms/cloud on the hardware roofline: an analytic count of
+the multiply-add work (PFN matmul + conv stack + heads — where every FLOP
+of this model family lives) and a documented lower-bound estimate of HBM
+traffic, combined with the chip's peak MXU rate and HBM bandwidth into
+
+  * ``mfu``        — achieved fraction of peak matmul throughput,
+  * ``hbm_frac``   — achieved fraction of peak HBM bandwidth,
+  * ``bound``      — which wall the config sits against (``mxu`` / ``hbm``
+                     / ``latency`` when neither resource is >1/3 busy —
+                     small-graph dispatch/serialization overhead).
+
+Conventions: one multiply-add = 2 FLOPs; byte counts are per-stage
+activation-in + activation-out + weights at the given dtype width — a
+LOWER bound (XLA fusion can only reduce traffic below the per-layer sum;
+re-reads can raise it). Elementwise work (BN, ReLU, sigmoid, box decode)
+is counted in bytes, not FLOPs — it is never the MXU bottleneck.
+
+The reference has no counterpart (its perf story is wall-clock prints,
+reference train.py:629-640); this is the accounting the TPU port is judged
+against (BASELINE.md headline rows).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+from pillars_tpu.config import Config
+
+
+@dataclasses.dataclass
+class StageCost:
+    """FLOPs (multiply-adds x2) + HBM bytes (lower bound) for one stage."""
+
+    flops: float = 0.0
+    bytes: float = 0.0
+
+    def __add__(self, other: "StageCost") -> "StageCost":
+        return StageCost(self.flops + other.flops, self.bytes + other.bytes)
+
+
+# ---------------------------------------------------------------------------
+# per-chip peaks: device_kind substring -> (bf16 matmul FLOP/s, HBM bytes/s)
+# (public spec sheets / the scaling-book hardware tables). f32 inputs at
+# jax's default matmul precision compute as bf16 passes with f32
+# accumulation, so the bf16 peak is the honest denominator for both.
+# ---------------------------------------------------------------------------
+PEAKS: Tuple[Tuple[str, float, float], ...] = (
+    ("v6", 918e12, 1640e9),       # Trillium / v6e
+    ("v5p", 459e12, 2765e9),
+    ("v5 lite", 197e12, 819e9),   # v5e reports device_kind "TPU v5 lite"
+    ("v5litepod", 197e12, 819e9),
+    ("v5e", 197e12, 819e9),
+    ("v4", 275e12, 1228e9),
+    ("v3", 123e12, 900e9),
+    ("v2", 46e12, 700e9),
+)
+
+
+def device_peaks(device_kind: str) -> Optional[Tuple[str, float, float]]:
+    """(matched name, peak FLOP/s, peak HBM B/s) or None if unknown."""
+    kind = (device_kind or "").lower()
+    for name, flops, bw in PEAKS:
+        if name in kind:
+            return name, flops, bw
+    return None
+
+
+# ---------------------------------------------------------------------------
+# analytic stage costs
+# ---------------------------------------------------------------------------
+
+def pfn_cost(cfg: Config, batch: int = 1, dtype_bytes: int = 4) -> StageCost:
+    """The PFN Dense matmul (reference model/pointpillars.py:65-225).
+
+    Row count depends on the formulation: the point-major / dense-cell
+    paths run the matmul over every RAW point (max_points), the dense
+    [P, N, D] path over max_voxels * max_points_per_voxel padded rows.
+    """
+    m = cfg.model
+    in_feats = m.num_point_features + 5 + (1 if m.pfn.with_distance else 0)
+    f = m.pfn.num_filters
+    if m.pfn.simple_mean:  # SECOND SimpleVoxel: per-voxel mean, no matmul
+        rows = batch * m.voxel.max_points
+        return StageCost(0.0, rows * in_feats * dtype_bytes * 2)
+    if m.pfn.pointwise or m.pfn.dense_cell:
+        rows = batch * m.voxel.max_points
+    else:
+        rows = batch * m.voxel.max_voxels * m.voxel.max_points_per_voxel
+    flops = 2.0 * rows * in_feats * f
+    byts = (rows * (in_feats + f) + in_feats * f) * dtype_bytes
+    return StageCost(flops, byts)
+
+
+def voxelize_cost(cfg: Config, batch: int = 1,
+                  dtype_bytes: int = 4) -> StageCost:
+    """Sort-based voxelizer: zero MXU FLOPs, pure memory movement. Rough
+    traffic model: ~3 full passes over (points + packed sort keys) — the
+    measured cost is row-latency + sort passes, so treat its `bytes` as
+    indicative only."""
+    m = batch * cfg.model.voxel.max_points
+    d = cfg.model.num_point_features
+    return StageCost(0.0, 3.0 * m * (d * dtype_bytes + 8))
+
+
+def scatter_cost(cfg: Config, batch: int = 1,
+                 dtype_bytes: int = 4) -> StageCost:
+    """Pillar->canvas scatter (+ z-layer ADD): read P*F, write ny*nx*F."""
+    m = cfg.model
+    nx, ny, _ = m.voxel.grid_size
+    f = m.pfn.num_filters
+    p = (nx * ny * m.voxel.grid_size[2] if m.pfn.dense_cell
+         else m.voxel.max_voxels)
+    return StageCost(0.0,
+                     batch * (p * f + nx * ny * f) * dtype_bytes)
+
+
+def rpn_cost(cfg: Config, batch: int = 1,
+             dtype_bytes: int = 4) -> Dict[str, StageCost]:
+    """Conv stack + deconv branches + 1x1 heads (reference
+    model/voxelnet.py:517-717), on the config's BEV feature map."""
+    m = cfg.model
+    r = m.rpn
+    _, ny, nx = m.feature_map_size  # [1, ny, nx] at out_size_factor
+    h0, w0 = ny, nx
+
+    def conv2d(h, w, cin, cout, k=3, separable=r.use_separable_conv):
+        if separable:
+            flops = 2.0 * h * w * (k * k * cin + cin * cout)
+            wbytes = (k * k * cin + cin * cout) * dtype_bytes
+        else:
+            flops = 2.0 * h * w * k * k * cin * cout
+            wbytes = k * k * cin * cout * dtype_bytes
+        return flops, wbytes
+
+    blocks = StageCost()
+    c_in = m.pfn.num_filters  # canvas channels (z layers scatter-ADD)
+    h, w = h0, w0
+    for i in range(3):
+        c_out = r.num_filters[i]
+        s = r.layer_strides[i]
+        h, w = h // s, w // s
+        for li in range(r.layer_nums[i] + 1):  # strided conv0 + n same
+            fl, wb = conv2d(h, w, c_in, c_out)
+            act = (h * s * w * s * c_in if li == 0 else h * w * c_in)
+            blocks += StageCost(batch * fl,
+                                batch * (act + h * w * c_out) * dtype_bytes
+                                + wb)
+            c_in = c_out
+
+    deconvs = StageCost()
+    for i in range(3):
+        c_i = r.num_filters[i]
+        u = r.upsample_strides[i]
+        f_up = r.num_upsample_filters[i]
+        hi = h0 // _prod(r.layer_strides[: i + 1])
+        wi = w0 // _prod(r.layer_strides[: i + 1])
+        # ConvTranspose kernel == stride: each input pixel expands into a
+        # disjoint u x u tile -> 2 * Hi * Wi * u^2 * Ci * Fup exactly
+        fl = 2.0 * hi * wi * u * u * c_i * f_up
+        deconvs += StageCost(
+            batch * fl,
+            batch * (hi * wi * c_i + hi * u * wi * u * f_up) * dtype_bytes
+            + u * u * c_i * f_up * dtype_bytes)
+
+    n_anchor = m.num_anchors_per_loc
+    out_ch = n_anchor * m.box_code_size
+    out_ch += n_anchor * (m.num_class if m.encode_background_as_zeros
+                          else m.num_class + 1)
+    if m.postprocess.use_direction_classifier:
+        out_ch += n_anchor * 2
+    f_total = sum(r.num_upsample_filters)  # split heads == concat, same MACs
+    heads = StageCost(
+        batch * 2.0 * h0 * w0 * f_total * out_ch,
+        batch * (h0 * w0 * (f_total + out_ch)) * dtype_bytes
+        + f_total * out_ch * dtype_bytes)
+    return {"rpn_blocks": blocks, "rpn_deconvs": deconvs, "heads": heads}
+
+
+def postprocess_cost(cfg: Config, batch: int = 1,
+                     dtype_bytes: int = 4) -> StageCost:
+    """Decode + top-k + NMS: negligible MACs; traffic ~ a few passes over
+    the anchor-shaped score/box tensors."""
+    m = cfg.model
+    _, ny, nx = m.feature_map_size
+    n_anchors = ny * nx * m.num_anchors_per_loc
+    per = m.box_code_size + m.num_class + 2 + 1
+    return StageCost(0.0, batch * 3.0 * n_anchors * per * dtype_bytes)
+
+
+def _prod(xs) -> int:
+    out = 1
+    for x in xs:
+        out *= int(x)
+    return out
+
+
+def detector_cost(cfg: Config, batch: int = 1,
+                  dtype_bytes: int = 4) -> Dict[str, StageCost]:
+    """Per-stage inference cost for one batch; key "total" sums them."""
+    stages: Dict[str, StageCost] = {
+        "voxelize": voxelize_cost(cfg, batch, dtype_bytes),
+        "pfn": pfn_cost(cfg, batch, dtype_bytes),
+        "scatter": scatter_cost(cfg, batch, dtype_bytes),
+    }
+    stages.update(rpn_cost(cfg, batch, dtype_bytes))
+    stages["postprocess"] = postprocess_cost(cfg, batch, dtype_bytes)
+    total = StageCost()
+    for c in stages.values():
+        total += c
+    stages["total"] = total
+    return stages
+
+
+# ---------------------------------------------------------------------------
+# roofline placement
+# ---------------------------------------------------------------------------
+
+def roofline_report(cfg: Config, ms_per_batch: float, batch: int = 1,
+                    device_kind: Optional[str] = None,
+                    dtype_bytes: int = 4) -> Dict[str, object]:
+    """Place a measured time on the chip's roofline.
+
+    Returns flops/bytes totals, achieved rates, ``mfu``, ``hbm_frac`` and
+    the ``bound`` verdict (mxu / hbm / latency). Unknown chips get the
+    counts but mfu/bound of None.
+    """
+    stages = detector_cost(cfg, batch, dtype_bytes)
+    total = stages["total"]
+    secs = ms_per_batch / 1e3
+    achieved_flops = total.flops / secs
+    achieved_bw = total.bytes / secs
+    out: Dict[str, object] = {
+        "flops": total.flops,
+        "bytes": total.bytes,
+        "flops_per_byte": total.flops / max(total.bytes, 1.0),
+        "achieved_tflops": achieved_flops / 1e12,
+        "achieved_gbps": achieved_bw / 1e9,
+        "stages": {k: dataclasses.asdict(v) for k, v in stages.items()
+                   if k != "total"},
+        "mfu": None, "hbm_frac": None, "bound": None, "chip": None,
+    }
+    peaks = device_peaks(device_kind) if device_kind else None
+    if peaks:
+        name, peak_flops, peak_bw = peaks
+        mfu = achieved_flops / peak_flops
+        hbm = achieved_bw / peak_bw
+        if mfu >= 1 / 3:
+            bound = "mxu"
+        elif hbm >= 1 / 3:
+            bound = "hbm"
+        else:
+            bound = "latency"  # neither resource 1/3 busy: overhead-bound
+        out.update(chip=name, mfu=round(mfu, 4), hbm_frac=round(hbm, 4),
+                   bound=bound,
+                   ridge_flops_per_byte=peak_flops / peak_bw)
+    return out

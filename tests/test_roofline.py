@@ -1,0 +1,120 @@
+"""Analytic FLOP/byte accounting (utils/roofline.py).
+
+Pins the closed-form stage counts with independent hand calculations on the
+default d435i config (feature map 64x80, canvas 128 ch, anchors 2/loc) and
+checks the roofline classification plumbing.
+"""
+
+import numpy as np
+
+from pillars_tpu.config import Config
+from pillars_tpu.utils import roofline as rf
+
+
+def _default():
+    return Config.default()
+
+
+class TestStageCounts:
+    def test_pfn_flops_hand(self):
+        cfg = _default()
+        # point-major PFN: one Dense(8 -> 128) row per raw point
+        rows = cfg.model.voxel.max_points
+        want = 2.0 * rows * 8 * 128
+        assert rf.pfn_cost(cfg).flops == want
+
+    def test_pfn_dense_path_rows(self):
+        cfg = _default()
+        cfg = cfg.override("model.pfn.pointwise", False)
+        cfg = cfg.override("model.pfn.dense_cell", False)
+        rows = cfg.model.voxel.max_voxels * cfg.model.voxel.max_points_per_voxel
+        assert rf.pfn_cost(cfg).flops == 2.0 * rows * 8 * 128
+
+    def test_deconv_flops_hand(self):
+        """ConvTranspose kernel == stride tiles the output disjointly:
+        deconv1 64x80 u1 64->128, deconv2 32x40 u2 128->128,
+        deconv3 16x20 u4 256->128."""
+        cfg = _default()
+        got = rf.rpn_cost(cfg)["rpn_deconvs"].flops
+        want = (2 * 64 * 80 * 1 * 64 * 128
+                + 2 * 32 * 40 * 4 * 128 * 128
+                + 2 * 16 * 20 * 16 * 256 * 128)
+        assert got == want
+
+    def test_heads_flops_hand(self):
+        """Split heads == concat in MACs: 2*H*W*384*(14+2+4)."""
+        cfg = _default()
+        got = rf.rpn_cost(cfg)["heads"].flops
+        assert got == 2 * 64 * 80 * 384 * 20
+
+    def test_blocks_first_layer_hand(self):
+        """Block1 conv0 (separable, 128 -> 64 @ 64x80):
+        2*H*W*(9*128 + 128*64); remaining three 64->64 layers:
+        2*H*W*(9*64 + 64*64) each."""
+        cfg = _default()
+        cfg = cfg.override("model.rpn.layer_nums", [3, 0, 0])
+        cfg = cfg.override("model.rpn.num_filters", [64, 64, 64])
+        cfg = cfg.override("model.rpn.layer_strides", [1, 1, 1])
+        got = rf.rpn_cost(cfg)["rpn_blocks"].flops
+        hw = 64 * 80
+        want = (2 * hw * (9 * 128 + 128 * 64)
+                + 3 * 2 * hw * (9 * 64 + 64 * 64)
+                + 2 * 2 * hw * (9 * 64 + 64 * 64))  # blocks 2,3: conv0 only
+        assert got == want
+
+    def test_plain_conv_costs_more(self):
+        cfg = _default()
+        plain = cfg.override("model.rpn.use_separable_conv", False)
+        assert (rf.rpn_cost(plain)["rpn_blocks"].flops
+                > rf.rpn_cost(cfg)["rpn_blocks"].flops)
+
+    def test_batch_linearity(self):
+        cfg = _default()
+        t1 = rf.detector_cost(cfg, batch=1)["total"]
+        t4 = rf.detector_cost(cfg, batch=4)["total"]
+        assert np.isclose(t4.flops, 4 * t1.flops)
+        # weights are counted once regardless of batch
+        assert t4.bytes < 4 * t1.bytes
+
+    def test_kitti_scale_bigger(self):
+        d435 = rf.detector_cost(_default())["total"]
+        kitti = _default().override(
+            "model.voxel.point_cloud_range", [0.0, -39.68, -3.0,
+                                              69.12, 39.68, 1.0])
+        kitti = kitti.override("model.voxel.voxel_size", [0.16, 0.16, 4.0])
+        kcost = rf.detector_cost(kitti)["total"]
+        assert kcost.flops > 10 * d435.flops
+
+
+class TestRoofline:
+    def test_device_peaks(self):
+        name, fl, bw = rf.device_peaks("TPU v5 lite")
+        assert name == "v5 lite" and fl == 197e12 and bw == 819e9
+        assert rf.device_peaks("SparseCore") is None
+        assert rf.device_peaks("") is None
+
+    def test_report_latency_bound(self):
+        """d435i at its measured ~1.2 ms/cloud: a ~0.9 GFLOP graph uses
+        <1% of a v5e MXU — the verdict must be latency-bound."""
+        rep = rf.roofline_report(_default(), ms_per_batch=1.24, batch=1,
+                                 device_kind="TPU v5 lite")
+        assert rep["chip"] == "v5 lite"
+        assert 0 < rep["mfu"] < 0.05
+        assert rep["bound"] == "latency"
+        assert rep["flops"] > 0 and rep["bytes"] > 0
+        assert set(rep["stages"]) == {"voxelize", "pfn", "scatter",
+                                      "rpn_blocks", "rpn_deconvs", "heads",
+                                      "postprocess"}
+
+    def test_report_mxu_bound_when_fast(self):
+        """The same graph finishing implausibly fast classifies as
+        mxu-bound — the classifier reacts to the measured rate."""
+        rep = rf.roofline_report(_default(), ms_per_batch=0.00001, batch=1,
+                                 device_kind="TPU v5 lite")
+        assert rep["bound"] == "mxu"
+
+    def test_unknown_chip_counts_only(self):
+        rep = rf.roofline_report(_default(), ms_per_batch=1.0, batch=1,
+                                 device_kind="weird accelerator")
+        assert rep["mfu"] is None and rep["bound"] is None
+        assert rep["flops"] > 0
