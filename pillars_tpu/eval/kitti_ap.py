@@ -47,10 +47,12 @@ NAME_TO_CLASS = {
     "car": 5, "tractor": 6, "trailer": 7,
 }
 
-MIN_HEIGHT = [40, 25, 25]
-MAX_OCCLUSION = [0, 1, 2]
-MAX_TRUNCATION = [0.15, 0.3, 0.5]
-NO_DETECTION = -10000000
+# KITTI difficulty gates (easy, moderate, hard): max occlusion level / max
+# truncation fraction / min projected bbox height in pixels
+MAX_OCCLUSION = (0, 1, 2)
+MAX_TRUNCATION = (0.15, 0.3, 0.5)
+MIN_HEIGHT = (40, 25, 25)
+NO_DETECTION = -10000000  # reference sentinel, kept for the test oracles
 
 
 def get_thresholds(scores: np.ndarray, num_gt: int,
@@ -86,23 +88,6 @@ def get_thresholds(scores: np.ndarray, num_gt: int,
     return thresholds
 
 
-def _get_thresholds_loop(scores: np.ndarray, num_gt: int,
-                         num_sample_pts: int = N_SAMPLE_PTS) -> List[float]:
-    """Line-faithful twin of reference eval.py:19-38 (test oracle)."""
-    scores = np.sort(scores)[::-1]
-    current_recall = 0.0
-    thresholds = []
-    for i, score in enumerate(scores):
-        l_recall = (i + 1) / num_gt
-        r_recall = (i + 2) / num_gt if i < len(scores) - 1 else l_recall
-        if ((r_recall - current_recall) < (current_recall - l_recall)
-                and i < len(scores) - 1):
-            continue
-        thresholds.append(score)
-        current_recall += 1 / (num_sample_pts - 1.0)
-    return thresholds
-
-
 def clean_data(gt_anno, dt_anno, current_class: int, difficulty: int,
                gt_names=None, dt_names=None):
     """reference eval.py:40-94, vectorized (same branch precedence: exact
@@ -111,7 +96,7 @@ def clean_data(gt_anno, dt_anno, current_class: int, difficulty: int,
 
     gt_names/dt_names: optional pre-lowered name arrays (eval_class computes
     them once per run instead of 6x per anno here)."""
-    current_cls_name = CLASS_NAMES[current_class].lower()
+    current_cls_name = CLASS_NAMES[current_class]  # table is lowercase
     if gt_names is None:
         gt_names = np.char.lower(np.asarray(gt_anno["name"], dtype=str))
     valid_class = np.full(gt_names.shape[0], -1, dtype=np.int64)
@@ -207,37 +192,6 @@ def d3_box_overlap(boxes, qboxes, criterion=-1):
     return np.where(rinc > 0, np.where(iw > 0, iou, 0.0), rinc)
 
 
-def _d3_box_overlap_loop(boxes, qboxes, criterion=-1):
-    """Loop-for-loop twin of the reference numba kernel (eval.py:132-156),
-    kept as the oracle for tests/test_eval_ap.py."""
-    rinc = _rotated_overlap(boxes[:, [0, 2, 3, 5, 6]],
-                            qboxes[:, [0, 2, 3, 5, 6]], 2)
-    n, k = boxes.shape[0], qboxes.shape[0]
-    out = rinc.astype(np.float64)
-    for i in range(n):
-        for j in range(k):
-            if rinc[i, j] > 0:
-                iw = (min(boxes[i, 1], qboxes[j, 1])
-                      - max(boxes[i, 1] - boxes[i, 4],
-                            qboxes[j, 1] - qboxes[j, 4]))
-                if iw > 0:
-                    area1 = boxes[i, 3] * boxes[i, 4] * boxes[i, 5]
-                    area2 = qboxes[j, 3] * qboxes[j, 4] * qboxes[j, 5]
-                    inc = iw * rinc[i, j]
-                    if criterion == -1:
-                        ua = area1 + area2 - inc
-                    elif criterion == 0:
-                        ua = area1
-                    elif criterion == 1:
-                        ua = area2
-                    else:
-                        ua = 1.0
-                    out[i, j] = inc / ua
-                else:
-                    out[i, j] = 0.0
-    return out
-
-
 def compute_statistics(overlaps, gt_datas, dt_datas, ignored_gt, ignored_det,
                        dc_bboxes, metric, min_overlap, thresh=0.0,
                        compute_fp=False, compute_aos=False):
@@ -330,183 +284,207 @@ def compute_statistics(overlaps, gt_datas, dt_datas, ignored_gt, ignored_det,
     return tp, fp, fn, similarity, np.asarray(tp_scores, dtype=np.float64)
 
 
+def _frame_data(gt, dt, current_class, difficulty, gt_names, dt_names):
+    """One frame's matcher inputs for a (class, difficulty) slice: the
+    bbox+alpha(+score) data columns and the clean_data ignore labels
+    (reference _prepare_data did this for all frames at once,
+    eval.py:425-453; here one frame = one tuple so eval_class can stream)."""
+    n_valid, ign_gt, ign_dt, dc = clean_data(gt, dt, current_class,
+                                             difficulty, gt_names=gt_names,
+                                             dt_names=dt_names)
+    dc_arr = (np.stack(dc, 0).astype(np.float64) if dc
+              else np.zeros((0, 4), np.float64))
+    gt_cols = np.hstack([gt["bbox"], gt["alpha"][:, None]])
+    dt_cols = np.hstack([dt["bbox"], dt["alpha"][:, None],
+                         dt["score"][:, None]])
+    return (gt_cols, dt_cols, np.asarray(ign_gt, np.int64),
+            np.asarray(ign_dt, np.int64), dc_arr, n_valid)
+
+
 def _prepare_data(gt_annos, dt_annos, current_class, difficulty,
                   name_cache=None):
-    """reference eval.py:425-453."""
-    gt_datas_list, dt_datas_list = [], []
-    ignored_gts, ignored_dets, dontcares = [], [], []
-    total_dc_num = []
-    total_num_valid_gt = 0
-    for i in range(len(gt_annos)):
-        num_valid_gt, ignored_gt, ignored_det, dc_bboxes = clean_data(
-            gt_annos[i], dt_annos[i], current_class, difficulty,
-            gt_names=name_cache[0][i] if name_cache else None,
-            dt_names=name_cache[1][i] if name_cache else None)
-        ignored_gts.append(np.array(ignored_gt, dtype=np.int64))
-        ignored_dets.append(np.array(ignored_det, dtype=np.int64))
-        if len(dc_bboxes) == 0:
-            dc_bboxes = np.zeros((0, 4)).astype(np.float64)
-        else:
-            dc_bboxes = np.stack(dc_bboxes, 0).astype(np.float64)
-        total_dc_num.append(dc_bboxes.shape[0])
-        dontcares.append(dc_bboxes)
-        total_num_valid_gt += num_valid_gt
-        gt_datas_list.append(np.concatenate(
-            [gt_annos[i]["bbox"], gt_annos[i]["alpha"][..., np.newaxis]], 1))
-        dt_datas_list.append(np.concatenate([
-            dt_annos[i]["bbox"], dt_annos[i]["alpha"][..., np.newaxis],
-            dt_annos[i]["score"][..., np.newaxis]], 1))
-    return (gt_datas_list, dt_datas_list, ignored_gts, ignored_dets,
-            dontcares, np.array(total_dc_num), total_num_valid_gt)
+    """Columnar view over all frames: transpose the per-frame tuples and
+    total the valid-GT count."""
+    rows = [
+        _frame_data(gt, dt, current_class, difficulty,
+                    name_cache[0][i] if name_cache else None,
+                    name_cache[1][i] if name_cache else None)
+        for i, (gt, dt) in enumerate(zip(gt_annos, dt_annos))
+    ]
+    gt_datas, dt_datas, ign_gts, ign_dts, dcs, n_valids = zip(*rows) if rows \
+        else ((), (), (), (), (), ())
+    dc_counts = np.array([d.shape[0] for d in dcs])
+    return (list(gt_datas), list(dt_datas), list(ign_gts), list(ign_dts),
+            list(dcs), dc_counts, int(sum(n_valids)))
+
+
+def _camera_boxes(anno, bev: bool) -> np.ndarray:
+    """Stack an anno's camera-frame boxes: full 7-dof [x,y,z,l,h,w,ry], or
+    the BEV 5-dof [x,z,l,w,ry] slice (y/h are the height axis in camera
+    coords)."""
+    cols = [0, 2] if bev else [0, 1, 2]
+    return np.hstack([anno["location"][:, cols],
+                      anno["dimensions"][:, cols],
+                      anno["rotation_y"][:, None]])
 
 
 def calculate_iou(gt_annos, dt_annos, metric):
     """Per-frame dt-x-gt overlap matrices (reference calculate_iou_partly,
     eval.py:348-422; partitioning is unnecessary with vectorized IoU)."""
-    overlaps = []
-    for gt, dt in zip(gt_annos, dt_annos):
-        if metric == 0:
-            o = image_box_overlap(dt["bbox"], gt["bbox"])
-        elif metric == 1:
-            dt_boxes = np.concatenate(
-                [dt["location"][:, [0, 2]], dt["dimensions"][:, [0, 2]],
-                 dt["rotation_y"][..., np.newaxis]], axis=1)
-            gt_boxes = np.concatenate(
-                [gt["location"][:, [0, 2]], gt["dimensions"][:, [0, 2]],
-                 gt["rotation_y"][..., np.newaxis]], axis=1)
-            o = bev_box_overlap(dt_boxes, gt_boxes).astype(np.float64)
-        elif metric == 2:
-            dt_boxes = np.concatenate(
-                [dt["location"], dt["dimensions"],
-                 dt["rotation_y"][..., np.newaxis]], axis=1)
-            gt_boxes = np.concatenate(
-                [gt["location"], gt["dimensions"],
-                 gt["rotation_y"][..., np.newaxis]], axis=1)
-            o = d3_box_overlap(dt_boxes, gt_boxes).astype(np.float64)
-        else:
-            raise ValueError("unknown metric")
-        overlaps.append(o)
-    return overlaps
+    if metric == 0:
+        pair = lambda dt, gt: image_box_overlap(dt["bbox"], gt["bbox"])
+    elif metric == 1:
+        pair = lambda dt, gt: bev_box_overlap(
+            _camera_boxes(dt, True), _camera_boxes(gt, True))
+    elif metric == 2:
+        pair = lambda dt, gt: d3_box_overlap(
+            _camera_boxes(dt, False), _camera_boxes(gt, False))
+    else:
+        raise ValueError(f"unknown metric {metric}")
+    return [pair(dt, gt).astype(np.float64)
+            for gt, dt in zip(gt_annos, dt_annos)]
+
+
+def _accumulate_pr(overlaps, slices, metric, min_overlap, thresholds,
+                   compute_aos, frames):
+    """Sum (tp, fp, fn, similarity) over frames for every threshold —
+    [T, 4]. Uses the native fused matcher when built, else the NumPy
+    matcher per (frame, threshold)."""
+    if frames is not None:
+        return frames.fused_statistics(metric, min_overlap, thresholds,
+                                       compute_aos)
+    gt_datas, dt_datas, ign_gts, ign_dts, dcs = slices
+    pr = np.zeros((len(thresholds), 4))
+    for ov, g, d, ig, idt, dc in zip(overlaps, gt_datas, dt_datas,
+                                     ign_gts, ign_dts, dcs):
+        for t, thresh in enumerate(thresholds):
+            tp, fp, fn, sim, _ = compute_statistics(
+                ov, g, d, ig, idt, dc, metric, min_overlap=min_overlap,
+                thresh=thresh, compute_fp=True, compute_aos=compute_aos)
+            pr[t] += (tp, fp, fn, sim if sim != -1 else 0.0)
+    return pr
+
+
+def _collect_match_scores(overlaps, slices, metric, min_overlap, frames):
+    """All matched-TP scores across frames (threshold-selection pass)."""
+    if frames is not None:
+        return frames.match_scores(metric, min_overlap)
+    gt_datas, dt_datas, ign_gts, ign_dts, dcs = slices
+    out: List[float] = []
+    for ov, g, d, ig, idt, dc in zip(overlaps, gt_datas, dt_datas,
+                                     ign_gts, ign_dts, dcs):
+        out += compute_statistics(ov, g, d, ig, idt, dc, metric,
+                                  min_overlap=min_overlap, thresh=0.0,
+                                  compute_fp=False)[4].tolist()
+    return out
 
 
 def eval_class(gt_annos, dt_annos, current_classes, difficultys, metric,
                min_overlaps, compute_aos=False):
-    """reference eval_class_v3 (eval.py:552-659)."""
+    """AP curves for every (class, difficulty, overlap-level) cell — the
+    reference's eval_class_v3 contract (eval.py:552-659), organised as:
+    one data-preparation per (class, difficulty) slice, then per overlap
+    level a two-pass match (score collection -> 41 thresholds -> counted
+    PR), with the PR -> precision/recall/aos conversion and the
+    right-to-left running max done as array ops."""
     assert len(gt_annos) == len(dt_annos)
     overlaps = calculate_iou(gt_annos, dt_annos, metric)
     ov_flat = native.flatten_overlaps(overlaps) if native.available() else None
     name_cache = (
         [np.char.lower(np.asarray(a["name"], dtype=str)) for a in gt_annos],
         [np.char.lower(np.asarray(a["name"], dtype=str)) for a in dt_annos])
-    num_minoverlap = len(min_overlaps)
-    num_class = len(current_classes)
-    num_difficulty = len(difficultys)
-    precision = np.zeros([num_class, num_difficulty, num_minoverlap,
-                          N_SAMPLE_PTS])
-    recall = np.zeros_like(precision)
-    aos = np.zeros_like(precision)
+    shape = (len(current_classes), len(difficultys), len(min_overlaps),
+             N_SAMPLE_PTS)
+    curves = {key: np.zeros(shape) for key in ("recall", "precision",
+                                               "orientation")}
     for m, current_class in enumerate(current_classes):
         for l, difficulty in enumerate(difficultys):
-            (gt_datas, dt_datas, ignored_gts, ignored_dets, dontcares,
-             total_dc_num, total_num_valid_gt) = _prepare_data(
-                gt_annos, dt_annos, current_class, difficulty,
-                name_cache=name_cache)
+            (gt_datas, dt_datas, ign_gts, ign_dts, dcs, _dc_counts,
+             n_valid_gt) = _prepare_data(gt_annos, dt_annos, current_class,
+                                         difficulty, name_cache=name_cache)
+            slices = (gt_datas, dt_datas, ign_gts, ign_dts, dcs)
             frames = (native.EvalFrames(overlaps, gt_datas, dt_datas,
-                                        ignored_gts, ignored_dets, dontcares,
+                                        ign_gts, ign_dts, dcs,
                                         ov_flat=ov_flat)
                       if ov_flat is not None else None)
             for k, min_overlap in enumerate(min_overlaps[:, metric, m]):
-                if frames is not None:
-                    thresholdss = frames.match_scores(metric, min_overlap)
-                else:
-                    thresholdss = []
-                    for i in range(len(gt_annos)):
-                        _, _, _, _, th = compute_statistics(
-                            overlaps[i], gt_datas[i], dt_datas[i],
-                            ignored_gts[i], ignored_dets[i], dontcares[i],
-                            metric, min_overlap=min_overlap, thresh=0.0,
-                            compute_fp=False)
-                        thresholdss += th.tolist()
-                thresholds = np.array(
-                    get_thresholds(np.array(thresholdss), total_num_valid_gt))
-                if frames is not None:
-                    pr = frames.fused_statistics(metric, min_overlap,
-                                                 thresholds, compute_aos)
-                else:
-                    pr = np.zeros([len(thresholds), 4])
-                    for i in range(len(gt_annos)):
-                        for t, thresh in enumerate(thresholds):
-                            tp, fp, fn, sim, _ = compute_statistics(
-                                overlaps[i], gt_datas[i], dt_datas[i],
-                                ignored_gts[i], ignored_dets[i], dontcares[i],
-                                metric, min_overlap=min_overlap,
-                                thresh=thresh, compute_fp=True,
-                                compute_aos=compute_aos)
-                            pr[t, 0] += tp
-                            pr[t, 1] += fp
-                            pr[t, 2] += fn
-                            if sim != -1:
-                                pr[t, 3] += sim
-                for i in range(len(thresholds)):
-                    recall[m, l, k, i] = pr[i, 0] / (pr[i, 0] + pr[i, 2])
-                    precision[m, l, k, i] = pr[i, 0] / (pr[i, 0] + pr[i, 1])
-                    if compute_aos:
-                        aos[m, l, k, i] = pr[i, 3] / (pr[i, 0] + pr[i, 1])
-                for i in range(len(thresholds)):
-                    precision[m, l, k, i] = np.max(precision[m, l, k, i:])
-                    recall[m, l, k, i] = np.max(recall[m, l, k, i:])
-                    if compute_aos:
-                        aos[m, l, k, i] = np.max(aos[m, l, k, i:])
-    return {"recall": recall, "precision": precision, "orientation": aos}
+                scores = _collect_match_scores(overlaps, slices, metric,
+                                               min_overlap, frames)
+                thresholds = np.asarray(
+                    get_thresholds(np.asarray(scores), n_valid_gt))
+                pr = np.asarray(_accumulate_pr(
+                    overlaps, slices, metric, min_overlap, thresholds,
+                    compute_aos, frames))
+                tp, fp, fn, sim = pr.T
+                cell = {"recall": tp / (tp + fn),
+                        "precision": tp / (tp + fp)}
+                if compute_aos:
+                    cell["orientation"] = sim / (tp + fp)
+                for key, vals in cell.items():
+                    # KITTI interpolated AP: each point takes the running
+                    # max of everything to its right
+                    mono = np.maximum.accumulate(vals[::-1])[::-1]
+                    curves[key][m, l, k, :len(mono)] = mono
+    return curves
 
 
 def get_mAP(prec):
-    """reference get_mAP_v2 (eval.py:686-690): every 4th of 41 points / 11."""
-    sums = 0
-    for i in range(0, prec.shape[-1], 4):
-        sums = sums + prec[..., i]
-    return sums / 11 * 100
+    """41-pt interpolated AP: every 4th recall point averaged over the 11
+    kept samples, as a percentage (reference get_mAP_v2, eval.py:686-690)."""
+    return prec[..., ::4].sum(axis=-1) / 11 * 100
 
 
 def do_eval(gt_annos, dt_annos, current_classes, min_overlaps,
             compute_aos=False, difficultys=(0, 1, 2), compute_bbox=True):
-    """reference do_eval_v2 (eval.py:694-753)."""
-    mAP_bbox = None
-    if compute_bbox:
-        ret = eval_class(gt_annos, dt_annos, current_classes, difficultys, 0,
-                         min_overlaps, compute_aos)
-        mAP_bbox = get_mAP(ret["precision"])
-    ret = eval_class(gt_annos, dt_annos, current_classes, difficultys, 1,
-                     min_overlaps, compute_aos)
-    mAP_bev = get_mAP(ret["precision"])
-    mAP_aos = get_mAP(ret["orientation"]) if compute_aos else None
-    ret = eval_class(gt_annos, dt_annos, current_classes, difficultys, 2,
-                     min_overlaps)
-    mAP_3d = get_mAP(ret["precision"])
-    return mAP_bbox, mAP_bev, mAP_3d, mAP_aos
+    """(mAP_bbox, mAP_bev, mAP_3d, mAP_aos) over the three metrics
+    (reference do_eval_v2, eval.py:694-753). AOS rides the BEV pass."""
+    def run(metric, aos=False):
+        return eval_class(gt_annos, dt_annos, current_classes, difficultys,
+                          metric, min_overlaps, aos)
+
+    bbox = get_mAP(run(0, compute_aos)["precision"]) if compute_bbox else None
+    bev_curves = run(1, compute_aos)
+    bev = get_mAP(bev_curves["precision"])
+    aos = get_mAP(bev_curves["orientation"]) if compute_aos else None
+    d3 = get_mAP(run(2)["precision"])
+    return bbox, bev, d3, aos
 
 
 def _min_overlaps_matrix() -> np.ndarray:
-    """The 6-level stacked overlap matrix (reference eval.py:843-866)."""
-    o75 = np.array([[0.7, 0.95, 0.5, 0.7, 0.5, 0.7, 0.7, 0.7],
-                    [0.7, 0.75, 0.5, 0.7, 0.5, 0.7, 0.7, 0.7],
-                    [0.7, 0.75, 0.5, 0.7, 0.5, 0.7, 0.7, 0.7]])
-    o70 = np.array([[0.7, 0.90, 0.5, 0.7, 0.5, 0.7, 0.7, 0.7],
-                    [0.7, 0.70, 0.5, 0.7, 0.5, 0.7, 0.7, 0.7],
-                    [0.7, 0.70, 0.5, 0.7, 0.5, 0.7, 0.7, 0.7]])
-    o65 = np.array([[0.7, 0.85, 0.5, 0.7, 0.5, 0.7, 0.7, 0.7],
-                    [0.7, 0.65, 0.5, 0.7, 0.5, 0.7, 0.7, 0.7],
-                    [0.7, 0.65, 0.5, 0.7, 0.5, 0.7, 0.7, 0.7]])
-    o60 = np.array([[0.7, 0.80, 0.5, 0.7, 0.5, 0.7, 0.7, 0.7],
-                    [0.7, 0.60, 0.5, 0.7, 0.5, 0.7, 0.7, 0.7],
-                    [0.7, 0.60, 0.5, 0.7, 0.5, 0.7, 0.7, 0.7]])
-    o55 = np.array([[0.7, 0.75, 0.5, 0.7, 0.5, 0.7, 0.7, 0.7],
-                    [0.7, 0.55, 0.5, 0.7, 0.5, 0.7, 0.7, 0.7],
-                    [0.7, 0.55, 0.5, 0.7, 0.5, 0.7, 0.7, 0.7]])
-    o50 = np.array([[0.7, 0.7, 0.5, 0.7, 0.5, 0.5, 0.5, 0.5],
-                    [0.5, 0.5, 0.25, 0.5, 0.25, 0.5, 0.5, 0.5],
-                    [0.5, 0.5, 0.25, 0.5, 0.25, 0.5, 0.5, 0.5]])
-    return np.stack([o50, o55, o60, o65, o70, o75], axis=0)
+    """The stacked [6, 3 metrics, 8 classes] min-overlap tensor the
+    reference evaluates at (eval.py:843-866). Level 0 is KITTI's official
+    table; levels 1..5 sweep the PEDESTRIAN column 0.55 -> 0.75 (bbox row
+    +0.2) with every other class pinned to its official hard threshold —
+    the reference author's 6-threshold experiment, reproduced
+    programmatically rather than as six pasted tables."""
+    # KITTI official (bbox, bev, 3d) x (car, ped, cyc, van, p_sit, car,
+    # tractor, trailer)
+    official = np.array([[0.7, 0.7, 0.5, 0.7, 0.5, 0.5, 0.5, 0.5],
+                         [0.5, 0.5, 0.25, 0.5, 0.25, 0.5, 0.5, 0.5],
+                         [0.5, 0.5, 0.25, 0.5, 0.25, 0.5, 0.5, 0.5]])
+    levels = [official]
+    for ped in (0.55, 0.60, 0.65, 0.70, 0.75):
+        t = np.full((3, 8), 0.7)
+        t[:, [2, 4]] = 0.5          # cyclist / person_sitting
+        t[:, 1] = (ped + 0.2, ped, ped)  # pedestrian; bbox stricter
+        levels.append(t)
+    return np.stack(levels, axis=0)
+
+
+def _as_class_ids(classes) -> List[int]:
+    """Normalize a class spec (single, name, id, or mixed list) to ids."""
+    if not isinstance(classes, (list, tuple)):
+        classes = [classes]
+    return [NAME_TO_CLASS[c] if isinstance(c, str) else int(c)
+            for c in classes]
+
+
+def _aos_available(dt_annos) -> bool:
+    """AOS is computable iff the first non-empty detection set carries a
+    real alpha (the reference's -10 sentinel marks alpha-less predictions,
+    eval.py:899-905)."""
+    first = next((a for a in dt_annos if a["alpha"].shape[0]), None)
+    return first is not None and first["alpha"][0] != -10
 
 
 def get_official_eval_result(gt_annos, dt_annos, current_classes,
@@ -515,25 +493,16 @@ def get_official_eval_result(gt_annos, dt_annos, current_classes,
 
     Returns (result_str, mAPbbox, mAPbev, mAP3d, mAPaos); each mAP has shape
     [num_class, num_difficulty, 6]."""
-    min_overlaps = _min_overlaps_matrix()
-    if not isinstance(current_classes, (list, tuple)):
-        current_classes = [current_classes]
-    current_classes = [NAME_TO_CLASS[c] if isinstance(c, str) else c
-                       for c in current_classes]
-    min_overlaps = min_overlaps[:, :, current_classes]
-    compute_aos = False
-    for anno in dt_annos:
-        if anno["alpha"].shape[0] != 0:
-            if anno["alpha"][0] != -10:
-                compute_aos = True
-            break
+    current_classes = _as_class_ids(current_classes)
+    min_overlaps = _min_overlaps_matrix()[:, :, current_classes]
+    compute_aos = _aos_available(dt_annos)
     mAPbbox, mAPbev, mAP3d, mAPaos = do_eval(
         gt_annos, dt_annos, current_classes, min_overlaps, compute_aos,
         list(difficultys), compute_bbox=compute_bbox)
     s = io.StringIO()
     class_names_cap = {v: k for k, v in NAME_TO_CLASS.items()}
     for j, curcls in enumerate(current_classes):
-        for i in range(min_overlaps.shape[0]):
+        for i in range(len(min_overlaps)):
             print(f"{class_names_cap[curcls]} "
                   "AP@{:.2f}, {:.2f}, {:.2f}:".format(*min_overlaps[i, :, j]),
                   file=s)
@@ -562,25 +531,14 @@ def get_coco_eval_result(gt_annos, dt_annos, current_classes,
                          compute_bbox: bool = True):
     """COCO-style AP averaged over an IoU range (reference
     get_coco_eval_result + do_coco_style_eval, eval.py:755-775, :920-997)."""
-    if not isinstance(current_classes, (list, tuple)):
-        current_classes = [current_classes]
-    current_classes = [NAME_TO_CLASS[c] if isinstance(c, str) else c
-                       for c in current_classes]
-    overlap_ranges = np.zeros([3, 3, len(current_classes)])
-    for i, curcls in enumerate(current_classes):
-        overlap_ranges[:, :, i] = np.array(
-            _COCO_CLASS_RANGE[curcls])[:, np.newaxis]
-    min_overlaps = np.zeros([10, 3, len(current_classes)])
-    for i in range(overlap_ranges.shape[1]):
-        for j in range(overlap_ranges.shape[2]):
-            lo, hi, num = overlap_ranges[:, i, j]
-            min_overlaps[:, i, j] = np.linspace(lo, hi, int(num))
-    compute_aos = False
-    for anno in dt_annos:
-        if anno["alpha"].shape[0] != 0:
-            if anno["alpha"][0] != -10:
-                compute_aos = True
-            break
+    current_classes = _as_class_ids(current_classes)
+    # [num levels, 3 metrics, classes]: each class sweeps its own
+    # linspace(lo, hi, n), identical across the three metrics
+    ranges = [_COCO_CLASS_RANGE[c] for c in current_classes]
+    min_overlaps = np.stack(
+        [np.tile(np.linspace(lo, hi, int(n))[:, None], (1, 3))
+         for lo, hi, n in ranges], axis=2)
+    compute_aos = _aos_available(dt_annos)
     mAPbbox, mAPbev, mAP3d, mAPaos = do_eval(
         gt_annos, dt_annos, current_classes, min_overlaps, compute_aos,
         compute_bbox=compute_bbox)
@@ -590,7 +548,7 @@ def get_coco_eval_result(gt_annos, dt_annos, current_classes,
     bbox_m, bev_m, d3_m = take(mAPbbox), take(mAPbev), take(mAP3d)
     aos_m = take(mAPaos)
     for j, curcls in enumerate(current_classes):
-        lo, hi, num = overlap_ranges[:, 0, j]
+        lo, hi, num = ranges[j]
         step = (hi - lo) / (num - 1)
         print(f"{class_names_cap[curcls]} "
               f"coco AP@{lo:.2f}:{step:.2f}:{hi:.2f}:", file=s)

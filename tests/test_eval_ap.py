@@ -176,6 +176,38 @@ class TestDifficultyFiltering:
         assert bev[0, 2, 0] < 75.0
 
 
+def _d3_box_overlap_loop(boxes, qboxes, criterion=-1):
+    """TEST ORACLE ONLY: loop-for-loop twin of the reference numba kernel
+    (second/utils/eval.py:132-156) pinning the vectorized
+    kitti_ap.d3_box_overlap."""
+    rinc = kitti_ap._rotated_overlap(boxes[:, [0, 2, 3, 5, 6]],
+                                     qboxes[:, [0, 2, 3, 5, 6]], 2)
+    n, k = boxes.shape[0], qboxes.shape[0]
+    out = rinc.astype(np.float64)
+    for i in range(n):
+        for j in range(k):
+            if rinc[i, j] > 0:
+                iw = (min(boxes[i, 1], qboxes[j, 1])
+                      - max(boxes[i, 1] - boxes[i, 4],
+                            qboxes[j, 1] - qboxes[j, 4]))
+                if iw > 0:
+                    area1 = boxes[i, 3] * boxes[i, 4] * boxes[i, 5]
+                    area2 = qboxes[j, 3] * qboxes[j, 4] * qboxes[j, 5]
+                    inc = iw * rinc[i, j]
+                    if criterion == -1:
+                        ua = area1 + area2 - inc
+                    elif criterion == 0:
+                        ua = area1
+                    elif criterion == 1:
+                        ua = area2
+                    else:
+                        ua = 1.0
+                    out[i, j] = inc / ua
+                else:
+                    out[i, j] = 0.0
+    return out
+
+
 class TestD3OverlapVectorized:
     """Vectorized d3_box_overlap must match the loop oracle exactly."""
 
@@ -196,7 +228,7 @@ class TestD3OverlapVectorized:
         qboxes[:20, [0, 1, 2]] = boxes[:20, [0, 1, 2]] + rng.normal(
             0, 0.3, (20, 3))
         got = kitti_ap.d3_box_overlap(boxes, qboxes, criterion)
-        want = kitti_ap._d3_box_overlap_loop(boxes, qboxes, criterion)
+        want = _d3_box_overlap_loop(boxes, qboxes, criterion)
         assert (want > 0.1).sum() > 10  # the test actually exercises overlap
         np.testing.assert_array_equal(got, want)
 
@@ -389,6 +421,24 @@ class TestMatcherDifferential:
         assert checked == 1200
 
 
+def _get_thresholds_loop(scores, num_gt, num_sample_pts=41):
+    """TEST ORACLE ONLY: line-faithful twin of the reference's threshold
+    walk (second/utils/eval.py:19-38) pinning the closed-form
+    kitti_ap.get_thresholds."""
+    scores = np.sort(scores)[::-1]
+    current_recall = 0.0
+    thresholds = []
+    for i, score in enumerate(scores):
+        l_recall = (i + 1) / num_gt
+        r_recall = (i + 2) / num_gt if i < len(scores) - 1 else l_recall
+        if ((r_recall - current_recall) < (current_recall - l_recall)
+                and i < len(scores) - 1):
+            continue
+        thresholds.append(score)
+        current_recall += 1 / (num_sample_pts - 1.0)
+    return thresholds
+
+
 class TestGetThresholdsClosedForm:
     """Closed-form get_thresholds must match the line-faithful loop twin."""
 
@@ -399,11 +449,11 @@ class TestGetThresholdsClosedForm:
     def test_matches_loop_oracle(self, rng, n, num_gt):
         scores = rng.uniform(0, 1, n)
         got = kitti_ap.get_thresholds(scores.copy(), num_gt)
-        want = kitti_ap._get_thresholds_loop(scores.copy(), num_gt)
+        want = _get_thresholds_loop(scores.copy(), num_gt)
         assert got == want
 
     def test_ties_match(self, rng):
         scores = np.repeat(rng.uniform(0, 1, 20), 5)  # heavy score ties
         got = kitti_ap.get_thresholds(scores.copy(), 90)
-        want = kitti_ap._get_thresholds_loop(scores.copy(), 90)
+        want = _get_thresholds_loop(scores.copy(), 90)
         assert got == want
