@@ -44,6 +44,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=16)
     ap.add_argument("--npts", type=int, default=100000)
+    ap.add_argument("--maxpts", type=int, default=None,
+                    help="override model.voxel.max_points (the static sort "
+                         "length): sizes the voxelizer to the sensor's real "
+                         "in-range point count instead of the worst case — "
+                         "the bucketed-MAXPTS lever")
     ap.add_argument("--bf16", action="store_true",
                     help="network compute in bfloat16 (decode stays f32)")
     args = ap.parse_args()
@@ -51,6 +56,9 @@ def main():
     cfg = Config.from_yaml("configs/kitti_3class.yaml")
     if args.bf16:
         cfg = cfg.override("runtime.compute_dtype", "bfloat16")
+    if args.maxpts:
+        cfg = cfg.override("model.voxel.max_points", args.maxpts)
+        args.npts = min(args.npts, args.maxpts)
     det = PillarsDetector(cfg)
     variables = det.init(jax.random.PRNGKey(0), batch_size=1)
     thr = cfg.eval_input.anchor_area_threshold
