@@ -117,6 +117,35 @@ def scatter_cost(cfg: Config, batch: int = 1,
                      batch * (p * f + nx * ny * f) * dtype_bytes)
 
 
+def middle_cost(cfg: Config, batch: int = 1,
+                dtype_bytes: int = 4) -> StageCost:
+    """SECOND-style sparse/dense middle extractor (models/sparse_middle.py).
+
+    Sparse path: a submanifold 3D conv costs ~2 * V * K_act * Cin * Cout
+    MACs where K_act is the average number of ACTIVE taps; LiDAR occupancy
+    is surface-like, so K_act ~ 9 of 27 is the documented estimate (the
+    rulebook length is data-dependent — this is deliberately a model, not
+    a measurement). V is the static active-voxel cap per stage. Bytes add
+    the per-tap gather traffic (the measured bottleneck — the middle is
+    gather-bound, not MXU-bound, docs/PERFORMANCE.md)."""
+    m = cfg.model.middle
+    if not m.enabled:
+        return StageCost()
+    v = m.max_active or cfg.model.voxel.max_voxels
+    k_act = 9.0  # documented estimate of active taps out of 27
+    flops = 0.0
+    byts = 0.0
+    c_in = (cfg.model.num_point_features if cfg.model.pfn.simple_mean
+            else cfg.model.pfn.num_filters)
+    for c_out in m.num_filters:
+        layers = (m.subm_per_stage + 1) if m.sparse else 1  # + downsample
+        for _ in range(layers):
+            flops += 2.0 * batch * v * k_act * c_in * c_out
+            byts += batch * v * (k_act * c_in + c_out) * dtype_bytes
+            c_in = c_out
+    return StageCost(flops, byts)
+
+
 def rpn_cost(cfg: Config, batch: int = 1,
              dtype_bytes: int = 4) -> Dict[str, StageCost]:
     """Conv stack + deconv branches + 1x1 heads (reference
@@ -205,6 +234,8 @@ def detector_cost(cfg: Config, batch: int = 1,
         "pfn": pfn_cost(cfg, batch, dtype_bytes),
         "scatter": scatter_cost(cfg, batch, dtype_bytes),
     }
+    if cfg.model.middle.enabled:
+        stages["middle"] = middle_cost(cfg, batch, dtype_bytes)
     stages.update(rpn_cost(cfg, batch, dtype_bytes))
     stages["postprocess"] = postprocess_cost(cfg, batch, dtype_bytes)
     total = StageCost()

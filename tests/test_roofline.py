@@ -106,6 +106,17 @@ class TestRoofline:
                                       "rpn_blocks", "rpn_deconvs", "heads",
                                       "postprocess"}
 
+    def test_middle_counted_when_enabled(self):
+        cfg = _default()
+        off = rf.detector_cost(cfg)["total"]
+        second = cfg.override("model.middle.enabled", True)
+        second = second.override("model.middle.sparse", True)
+        second = second.override("model.pfn.simple_mean", True)
+        cost = rf.detector_cost(second)
+        assert "middle" in cost
+        assert cost["middle"].flops > 0
+        assert cost["total"].flops > off.flops - rf.pfn_cost(cfg).flops
+
     def test_report_mxu_bound_when_fast(self):
         """The same graph finishing implausibly fast classifies as
         mxu-bound — the classifier reacts to the measured rate."""
