@@ -15,7 +15,7 @@ export JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache
 run() {
   name=$1; shift
   echo "=== $name: $* (start $(date +%H:%M:%S)) ==="
-  timeout 2400 "$@" > "$OUT/$name.log" 2>&1
+  timeout 3600 "$@" > "$OUT/$name.log" 2>&1
   echo "--- rc=$? ($(date +%H:%M:%S)); tail:"
   tail -6 "$OUT/$name.log"
 }
