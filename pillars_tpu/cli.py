@@ -171,9 +171,16 @@ def cmd_stream(args):
         variables = {"params": params, "batch_stats": batch_stats or {}}
     else:
         variables = det.init(jax.random.PRNGKey(0), batch_size=1)
+    buckets = None
+    if args.buckets == "auto":
+        from pillars_tpu.infer import default_bucket_ladder
+        buckets = default_bucket_ladder(cfg.model.voxel.max_points)
+    elif args.buckets:
+        buckets = [int(b) for b in args.buckets.split(",")]
     stats = run_stream(cfg, det, variables, hz=args.hz,
                        duration_s=args.duration,
-                       source=args.source, window=args.window)
+                       source=args.source, window=args.window,
+                       buckets=buckets)
     print(json.dumps(stats))
 
 
@@ -395,6 +402,11 @@ def main(argv: Optional[List[str]] = None):
                     help="synthetic | replay:<dataset_root>")
     sp.add_argument("--window", type=int, default=8,
                     help="bounded in-flight depth (overlapped D2H fetches)")
+    sp.add_argument("--buckets", default=None,
+                    help="comma-separated point-count bucket ladder "
+                         "(e.g. 32768,65536,131072) for bucketed "
+                         "static-shape dispatch; 'auto' derives a halving "
+                         "ladder from model.voxel.max_points")
     sp.set_defaults(fn=cmd_stream)
 
     sp = sub.add_parser(

@@ -19,7 +19,7 @@ from __future__ import annotations
 import pickle
 import threading
 import time
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict, Optional, Sequence
 
 import numpy as np
 
@@ -149,7 +149,8 @@ def ros_source(mailbox: LatestFrameMailbox,
 def run_stream(cfg, detector, variables, hz: float = 120.0,
                duration_s: float = 5.0, source: str = "synthetic",
                on_detections: Optional[Callable] = None,
-               window: int = 8) -> Dict:
+               window: int = 8,
+               buckets: Optional[Sequence[int]] = None) -> Dict:
     """Pull frames from the mailbox through the jitted graph as fast as they
     arrive; report throughput / latency / drop statistics.
 
@@ -160,6 +161,11 @@ def run_stream(cfg, detector, variables, hz: float = 120.0,
     1/RTT on remote-attached devices even when the device itself is >100x
     faster; the bounded window keeps memory honest while hiding that RTT.
 
+    ``buckets`` enables bucketed static-shape dispatch (pillars_tpu.infer):
+    each frame runs through the smallest precompiled point-count bucket
+    that holds it instead of the worst-case graph — all buckets are
+    compiled during warmup so the stream never stalls on a mid-run compile.
+
     reference production loop (train.py:689-861 + load_data.py:2244-2246)."""
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
@@ -167,16 +173,27 @@ def run_stream(cfg, detector, variables, hz: float = 120.0,
     import jax
     import jax.numpy as jnp
 
-    infer = detector.make_inference_fn(cfg.eval_input.anchor_area_threshold)
     maxpts = cfg.model.voxel.max_points
     eye = jnp.eye(4, dtype=jnp.float32)[None]
     min_score = cfg.runtime.prediction_min_score
 
-    # warm up the compiled graph BEFORE the source starts, or the whole
+    # warm up the compiled graph(s) BEFORE the source starts, or the whole
     # stream drops frames during the (slow) first compile
-    warm = np.zeros((1, maxpts, 3), np.float32)
-    jax.block_until_ready(infer(variables, warm, jnp.asarray([0], jnp.int32),
-                                eye, eye))
+    if buckets is not None:
+        from pillars_tpu.infer import BucketedInference
+        bucketed = BucketedInference(
+            cfg, buckets, cfg.eval_input.anchor_area_threshold)
+        bucketed.warmup(variables, num_features=3)
+        maxpts = max(bucketed.buckets)
+
+        def infer(v, pts, num, r, t):
+            return bucketed(v, pts, num, r, t)
+    else:
+        infer = detector.make_inference_fn(
+            cfg.eval_input.anchor_area_threshold)
+        warm = np.zeros((1, maxpts, 3), np.float32)
+        jax.block_until_ready(infer(variables, warm,
+                                    jnp.asarray([0], jnp.int32), eye, eye))
 
     mailbox = LatestFrameMailbox()
     if source == "synthetic":
@@ -217,8 +234,11 @@ def run_stream(cfg, detector, variables, hz: float = 120.0,
             break
         skipped_total += skipped
         t0 = time.perf_counter()
-        pts = np.zeros((1, maxpts, 3), np.float32)
         n = min(len(frame), maxpts)
+        # with buckets, hand over the tight [1, n, 3] array — the
+        # dispatcher pads to the smallest bucket that holds it
+        width = n if buckets is not None else maxpts
+        pts = np.zeros((1, width, 3), np.float32)
         pts[0, :n] = frame[:n, :3]
         # async dispatch; the fetch overlaps on its own thread
         out = infer(variables, pts, jnp.asarray([n], jnp.int32), eye, eye)
