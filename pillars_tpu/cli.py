@@ -91,7 +91,14 @@ def cmd_evaluate(args):
     else:
         print("[evaluate] no checkpoint given - random init", file=sys.stderr)
         variables = det.init(jax.random.PRNGKey(0), batch_size=1)
-    ev = Evaluator(cfg, det, measure_time=cfg.runtime.measure_time)
+    buckets = None
+    if getattr(args, "buckets", None) == "auto":
+        from pillars_tpu.infer import default_bucket_ladder
+        buckets = default_bucket_ladder(cfg.model.voxel.max_points)
+    elif getattr(args, "buckets", None):
+        buckets = [int(b) for b in args.buckets.split(",")]
+    ev = Evaluator(cfg, det, measure_time=cfg.runtime.measure_time,
+                   buckets=buckets)
     if args.save_predictions:
         # fail on an unwritable destination BEFORE the eval loop runs,
         # not after minutes of inference
@@ -374,6 +381,9 @@ def main(argv: Optional[List[str]] = None):
     sp.add_argument("--save-predictions", default=None,
                     help="pickle the dt annos here (default in "
                          "no_annos_mode: <out_dir>/result.pkl)")
+    sp.add_argument("--buckets", default=None,
+                    help="point-count bucket ladder (a,b,c | auto) for "
+                         "bucketed static-shape dispatch during eval")
     sp.set_defaults(fn=cmd_evaluate)
 
     sp = sub.add_parser("create-data",

@@ -39,14 +39,26 @@ class Evaluator:
     for the production path)."""
 
     def __init__(self, cfg: Config, detector: PillarsDetector,
-                 measure_time: bool = False):
+                 measure_time: bool = False, buckets=None):
         self.cfg = cfg
         self.detector = detector
         self.dataset = PedestrianDataset(cfg, cfg.eval_input, training=False)
-        self.infer = detector.make_inference_fn(
-            cfg.eval_input.anchor_area_threshold)
         self.class_names = list(cfg.eval_input.desired_objects)
         self.measure_time = measure_time
+        # bucketed static-shape dispatch (pillars_tpu/infer.py): batches
+        # are sliced host-side to the smallest bucket holding their
+        # largest cloud BEFORE device_put, then routed to that bucket's
+        # compiled graph by the (now exact) points.shape[1]
+        self._bucketed = None
+        if buckets is not None:
+            from pillars_tpu.infer import BucketedInference
+
+            self._bucketed = BucketedInference(
+                cfg, buckets, cfg.eval_input.anchor_area_threshold)
+            self.infer = self._bucketed_infer
+        else:
+            self.infer = detector.make_inference_fn(
+                cfg.eval_input.anchor_area_threshold)
         # data-parallel eval: full batches shard over the mesh like the
         # Trainer's (SURVEY §2.4); remainder batches fall back to one device
         self.mesh = None
@@ -56,7 +68,19 @@ class Evaluator:
 
             self.mesh = make_mesh(n_dev, cfg.runtime.data_axis)
 
+    def _bucketed_infer(self, variables, points, num_points, rect, trv2c):
+        # points was pre-sliced to an exact bucket width in _device_put
+        return self._bucketed._fn(points.shape[1])(
+            variables, points, num_points, rect, trv2c)
+
     def _device_put(self, batch):
+        if self._bucketed is not None:
+            import numpy as _np
+
+            n = int(_np.asarray(batch["num_points"]).max(initial=0))
+            b = self._bucketed.select_bucket(n)
+            if batch["points"].shape[1] > b:
+                batch = dict(batch, points=batch["points"][:, :b])
         if (self.mesh is not None
                 and batch["points"].shape[0] % self.mesh.size == 0):
             from pillars_tpu.parallel import shard_batch

@@ -128,6 +128,37 @@ class TestEquality:
             np.testing.assert_array_equal(a, b_)
 
 
+class TestEvaluatorIntegration:
+    def test_bucketed_eval_matches_fixed(self, tmp_path):
+        """Evaluator(buckets=...) slices batches to the bucket before
+        device_put and must produce the same annos as the fixed graph."""
+        from pillars_tpu.data import synthetic
+        from pillars_tpu.train.trainer import Evaluator
+
+        root = str(tmp_path / "synth")
+        synthetic.generate_dataset(root, num_train=2, num_test=3, seed=5)
+        cfg = CFG.override("eval_input.info_path",
+                           f"{root}/kitti_infos_val.pkl")
+        cfg = cfg.override("eval_input.dataset_root", root)
+        cfg = cfg.override("eval_input.batch_size", 2)
+        cfg = cfg.override("runtime.num_devices", 1)
+        cfg = cfg.override("eval_input.num_workers", 0)
+        det = PillarsDetector(cfg)
+        variables = det.init(jax.random.PRNGKey(0), batch_size=1)
+
+        dt_fixed, gt = Evaluator(cfg, det).run(variables, progress=False)
+        ev = Evaluator(cfg, det, buckets=[1024, 4096])
+        dt_bucketed, _ = ev.run(variables, progress=False)
+
+        assert len(dt_fixed) == len(dt_bucketed) == len(gt)
+        for a, b in zip(dt_fixed, dt_bucketed):
+            assert list(a["name"]) == list(b["name"])
+            np.testing.assert_allclose(a["score"], b["score"],
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(a["location"], b["location"],
+                                       rtol=1e-5, atol=1e-5)
+
+
 class TestStreamIntegration:
     def test_run_stream_with_buckets(self, variables):
         from pillars_tpu.data.stream import run_stream
