@@ -178,6 +178,14 @@ def cmd_stream(args):
         variables = {"params": params, "batch_stats": batch_stats or {}}
     else:
         variables = det.init(jax.random.PRNGKey(0), batch_size=1)
+    if args.num_streams > 1:
+        from pillars_tpu.data.stream import run_multi_stream
+        stats = run_multi_stream(cfg, det, variables,
+                                 num_streams=args.num_streams, hz=args.hz,
+                                 duration_s=args.duration,
+                                 window=args.window)
+        print(json.dumps(stats))
+        return
     buckets = None
     if args.buckets == "auto":
         from pillars_tpu.infer import default_bucket_ladder
@@ -417,6 +425,10 @@ def main(argv: Optional[List[str]] = None):
                          "(e.g. 32768,65536,131072) for bucketed "
                          "static-shape dispatch; 'auto' derives a halving "
                          "ladder from model.voxel.max_points")
+    sp.add_argument("--num-streams", type=int, default=1,
+                    help=">1 serves N independent synthetic sensor streams "
+                         "through ONE batched graph (multi-sensor serving; "
+                         "per-stream drop-oldest mailboxes)")
     sp.set_defaults(fn=cmd_stream)
 
     sp = sub.add_parser(

@@ -266,22 +266,31 @@ class PillarsDetector:
         # scale (1.29M anchors, C=3) vs 2.8 ms for this one
         # (scripts/probe_post2.py); sigmoid after max is equal to the
         # reference's max-of-sigmoid (monotone).
-        cls_nhwc = preds["cls_preds"].astype(jnp.float32)
+        cls_nhwc = preds["cls_preds"]
         if C == 1:
             # sigmoid over the single foreground class
             # (voxelnet.py:1149-1150, num_class_with_bg == 1 path)
-            scores_all = jax.nn.sigmoid(cls_nhwc.reshape(batch, -1))
-            labels_all = jnp.zeros_like(scores_all, dtype=jnp.int32)
+            scores_all = jax.nn.sigmoid(
+                cls_nhwc.reshape(batch, -1).astype(jnp.float32))
         else:
             split = cls_nhwc.reshape(cls_nhwc.shape[:-1]
                                      + (cls_nhwc.shape[-1] // C, C))
+            # max in the head's native dtype (exact: astype-to-f32 then max
+            # gives the same values), sigmoid after max == max of sigmoids
+            # (monotone). Labels are NOT materialized per anchor here —
+            # only the top-k selected rows ever need an argmax, so the
+            # class logits ride the same native-layout row gathers as the
+            # box/dir heads (probe_kitti_post.py: the full-A argmax+write
+            # was a third of the score-chain cost at 1.29M anchors).
             scores_all = jax.nn.sigmoid(
-                jnp.max(split, axis=-1).reshape(batch, -1))
-            # first-max-wins tie-breaking, same as the sequential compare
-            labels_all = jnp.argmax(split, axis=-1).reshape(
-                batch, -1).astype(jnp.int32)
+                jnp.max(split, axis=-1).reshape(batch, -1)
+                .astype(jnp.float32))
+        # native dtype + native layout: only the k gathered rows are ever
+        # repacked; argmax ordering is dtype-independent (bf16->f32 is
+        # monotone)
+        cls_lt = cls_nhwc.reshape(batch, -1, T * C)
 
-        def one(box_p, scores, labels0, dir_p, amask, rect_i, trv2c_i):
+        def one(box_p, scores, cls_p, dir_p, amask, rect_i, trv2c_i):
             masked_scores = jnp.where(amask, scores, -jnp.inf)
             if pp.nms_score_threshold > 0.0:
                 masked_scores = jnp.where(
@@ -303,7 +312,14 @@ class PillarsDetector:
                 dir_p[loc].reshape(k, T, 2), t[:, None, None],
                 axis=1)[:, 0]                                     # [k, 2]
             sel_dir = jnp.argmax(dir_pair, axis=-1)
-            sel_label = labels0[top_idx]
+            # deferred label argmax: [k, C] gathered logits, first-max-wins
+            # tie-breaking same as the sequential compare; all-zeros when
+            # C == 1 (argmax over a size-1 axis), matching the reference's
+            # num_class_with_bg == 1 path
+            cls_sel = jnp.take_along_axis(
+                cls_p[loc].reshape(k, T, C), t[:, None, None],
+                axis=1)[:, 0]                                     # [k, C]
+            sel_label = jnp.argmax(cls_sel, axis=-1).astype(jnp.int32)
 
             decoded = gb.second_box_decode(sel_box, sel_anchor)  # [k, 7]
             bev = decoded[:, jnp.array([0, 1, 3, 4, 6])]
@@ -328,7 +344,7 @@ class PillarsDetector:
             cam = gb.box_lidar_to_camera(out_boxes, rect_i, trv2c_i)
             return out_boxes, cam, out_scores, out_label, keep_valid
 
-        outs = jax.vmap(one)(box_lt, scores_all, labels_all, dir_lt,
+        outs = jax.vmap(one)(box_lt, scores_all, cls_lt, dir_lt,
                              anchors_mask, rect, trv2c)
         return Predictions(*outs)
 
