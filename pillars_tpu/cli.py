@@ -91,12 +91,9 @@ def cmd_evaluate(args):
     else:
         print("[evaluate] no checkpoint given - random init", file=sys.stderr)
         variables = det.init(jax.random.PRNGKey(0), batch_size=1)
-    buckets = None
-    if getattr(args, "buckets", None) == "auto":
-        from pillars_tpu.infer import default_bucket_ladder
-        buckets = default_bucket_ladder(cfg.model.voxel.max_points)
-    elif getattr(args, "buckets", None):
-        buckets = [int(b) for b in args.buckets.split(",")]
+    from pillars_tpu.infer import parse_bucket_arg
+    buckets = parse_bucket_arg(getattr(args, "buckets", None),
+                               cfg.model.voxel.max_points)
     ev = Evaluator(cfg, det, measure_time=cfg.runtime.measure_time,
                    buckets=buckets)
     if args.save_predictions:
@@ -178,7 +175,18 @@ def cmd_stream(args):
         variables = {"params": params, "batch_stats": batch_stats or {}}
     else:
         variables = det.init(jax.random.PRNGKey(0), batch_size=1)
+    from pillars_tpu.infer import parse_bucket_arg
+    buckets = parse_bucket_arg(args.buckets, cfg.model.voxel.max_points)
     if args.num_streams > 1:
+        # multi-stream serving is synthetic-source, fixed-shape only —
+        # refuse the combinations we would otherwise silently ignore
+        if buckets is not None:
+            raise SystemExit(
+                "--num-streams > 1 does not support --buckets (the batched "
+                "graph is one static shape)")
+        if args.source != "synthetic":
+            raise SystemExit(
+                "--num-streams > 1 supports only --source synthetic")
         from pillars_tpu.data.stream import run_multi_stream
         stats = run_multi_stream(cfg, det, variables,
                                  num_streams=args.num_streams, hz=args.hz,
@@ -186,12 +194,6 @@ def cmd_stream(args):
                                  window=args.window)
         print(json.dumps(stats))
         return
-    buckets = None
-    if args.buckets == "auto":
-        from pillars_tpu.infer import default_bucket_ladder
-        buckets = default_bucket_ladder(cfg.model.voxel.max_points)
-    elif args.buckets:
-        buckets = [int(b) for b in args.buckets.split(",")]
     stats = run_stream(cfg, det, variables, hz=args.hz,
                        duration_s=args.duration,
                        source=args.source, window=args.window,

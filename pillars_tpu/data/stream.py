@@ -187,13 +187,10 @@ def run_stream(cfg, detector, variables, hz: float = 120.0,
     # stream drops frames during the (slow) first compile
     if buckets is not None:
         from pillars_tpu.infer import BucketedInference
-        bucketed = BucketedInference(
+        infer = BucketedInference(
             cfg, buckets, cfg.eval_input.anchor_area_threshold)
-        bucketed.warmup(variables, num_features=3)
-        maxpts = max(bucketed.buckets)
-
-        def infer(v, pts, num, r, t):
-            return bucketed(v, pts, num, r, t)
+        infer.warmup(variables, num_features=3)
+        maxpts = max(infer.buckets)
     else:
         infer = detector.make_inference_fn(
             cfg.eval_input.anchor_area_threshold)
@@ -246,8 +243,10 @@ def run_stream(cfg, detector, variables, hz: float = 120.0,
         width = n if buckets is not None else maxpts
         pts = np.zeros((1, width, 3), np.float32)
         pts[0, :n] = frame[:n, :3]
-        # async dispatch; the fetch overlaps on its own thread
-        out = infer(variables, pts, jnp.asarray([n], jnp.int32), eye, eye)
+        # async dispatch; the fetch overlaps on its own thread. num stays a
+        # HOST array: the bucketed dispatcher reads it for bucket selection,
+        # and a device array there would cost a blocking D2H per frame
+        out = infer(variables, pts, np.asarray([n], np.int32), eye, eye)
         inflight.append(fetchers.submit(fetch, out, t0))
         while len(inflight) >= window:
             consume(inflight.popleft())
@@ -357,7 +356,11 @@ def run_multi_stream(cfg, detector, variables, num_streams: int = 4,
         # stale slots are masked out rather than re-run
         dispatch_num = np.where(np.isin(np.arange(N), fresh), num, 0)
         t0 = time.perf_counter()
-        out = infer(variables, pts, dispatch_num.astype(np.int32),
+        # per-dispatch COPY: up to `window` dispatches are in flight and
+        # their H2D transfers may still be pending when the loop writes the
+        # next frames into the shared pts buffer — mutating a numpy array
+        # handed to jax mid-transfer silently corrupts the in-flight batch
+        out = infer(variables, pts.copy(), dispatch_num.astype(np.int32),
                     eyes, eyes)
         inflight.append((fetchers.submit(fetch, out), tuple(fresh), t0))
         while len(inflight) >= max(1, int(window)):

@@ -32,7 +32,17 @@ from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["BucketedInference", "default_bucket_ladder"]
+__all__ = ["BucketedInference", "default_bucket_ladder", "parse_bucket_arg"]
+
+
+def parse_bucket_arg(arg, max_points: int) -> Optional[Tuple[int, ...]]:
+    """CLI bucket spec: None/'' -> None, 'auto' -> the default halving
+    ladder from ``max_points``, 'a,b,c' -> explicit rungs."""
+    if not arg:
+        return None
+    if arg == "auto":
+        return default_bucket_ladder(int(max_points))
+    return tuple(int(b) for b in str(arg).split(","))
 
 
 def default_bucket_ladder(max_points: int, levels: int = 3,

@@ -119,17 +119,21 @@ class Evaluator:
                  else len(self.dataset))
         timer = StageTimer(enabled=self.measure_time)
         if self.measure_time:
-            # warm the compiled graph so stage times exclude compilation
-            mp = self.cfg.model.voxel.max_points
-            nf = self.cfg.model.num_point_features
-            b = batch_size
-            import numpy as _np
+            # warm the compiled graph(s) so stage times exclude compilation
+            if self._bucketed is not None:
+                # every bucket rung, not the (never-dispatched) full width
+                self._bucketed.warmup(variables, batch_size=batch_size)
+            else:
+                mp = self.cfg.model.voxel.max_points
+                nf = self.cfg.model.num_point_features
+                b = batch_size
+                import numpy as _np
 
-            jax.block_until_ready(self.infer(
-                variables, _np.zeros((b, mp, nf), _np.float32),
-                _np.zeros((b,), _np.int32),
-                _np.tile(_np.eye(4, dtype=_np.float32), (b, 1, 1)),
-                _np.tile(_np.eye(4, dtype=_np.float32), (b, 1, 1))))
+                jax.block_until_ready(self.infer(
+                    variables, _np.zeros((b, mp, nf), _np.float32),
+                    _np.zeros((b,), _np.int32),
+                    _np.tile(_np.eye(4, dtype=_np.float32), (b, 1, 1)),
+                    _np.tile(_np.eye(4, dtype=_np.float32), (b, 1, 1))))
         dt_annos: List[Dict] = []
         count = 0
         report_every = max(1, (total // batch_size) // 10 or 1)
