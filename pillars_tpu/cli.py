@@ -409,8 +409,11 @@ def main(argv: Optional[List[str]] = None):
     sp.add_argument("--num-train", type=int, default=32)
     sp.add_argument("--num-test", type=int, default=8)
     sp.add_argument("--seed", type=int, default=0)
-    sp.add_argument("--profile", default="easy", choices=["easy", "hard"],
-                    help="hard = stratified occlusion/sparsity benchmark")
+    sp.add_argument("--profile", default="easy",
+                    choices=["easy", "hard", "kitti3"],
+                    help="hard = stratified occlusion/sparsity benchmark; "
+                         "kitti3 = full-LiDAR-scale 3-class scenes for "
+                         "configs/kitti_3class.yaml")
     sp.set_defaults(fn=cmd_synth_data)
 
     sp = sub.add_parser("stream", help="streaming inference (replay/live)")

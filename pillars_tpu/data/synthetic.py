@@ -114,12 +114,13 @@ def make_scene(rng, max_peds: int = 3) -> Tuple[np.ndarray, np.ndarray]:
     return np.concatenate(pts, axis=0).astype(np.float32), gt
 
 
-def _write_kitti_label(path, gt_boxes_lidar, meta=None):
+def _write_kitti_label(path, gt_boxes_lidar, meta=None, names=None):
     """Write lidar boxes as KITTI-format camera-frame labels.
 
     ``meta``: optional list of per-object dicts with ``truncated`` /
     ``occluded`` / ``bbox`` (pixel [x1, y1, x2, y2]); defaults reproduce the
-    easy-profile fixed values (everything easy-difficulty)."""
+    easy-profile fixed values (everything easy-difficulty).
+    ``names``: per-object class names (default: all Pedestrian)."""
     cam = nb.box_lidar_to_camera(gt_boxes_lidar, RECT, VELO2CAM)
     lines = []
     for i, b in enumerate(cam):
@@ -132,8 +133,9 @@ def _write_kitti_label(path, gt_boxes_lidar, meta=None):
         trunc = m.get("truncated", 0.0)
         occ = m.get("occluded", 0)
         bx = m.get("bbox", (300.0, 150.0, 400.0, 350.0))
+        name = names[i] if names is not None else "Pedestrian"
         lines.append(
-            f"Pedestrian {trunc:.2f} {occ} {alpha:.2f} "
+            f"{name} {trunc:.2f} {occ} {alpha:.2f} "
             f"{bx[0]:.2f} {bx[1]:.2f} {bx[2]:.2f} {bx[3]:.2f} "
             f"{h:.2f} {w:.2f} {l:.2f} {x:.2f} {y:.2f} {z:.2f} {ry:.2f}")
     pathlib.Path(path).write_text("\n".join(lines) + "\n" if lines else "")
@@ -318,6 +320,182 @@ def make_scene_hard(rng, max_peds: int = 5):
     return np.concatenate([pts, ghosts], axis=0), gt, meta
 
 
+# ---------------------------------------------------------------------------
+# "kitti3" profile: full-LiDAR-scale 3-class scenes (Car / Pedestrian /
+# Cyclist) for configs/kitti_3class.yaml — 69 m x 79 m range, 1/r-thinned
+# ground returns, box-shell cars, two-wheel + leaning-rider cyclists,
+# yaw-aware pedestrians, distance-stratified difficulty via a KITTI-like
+# pinhole (f=721) so the 40/25/25 px height gates actually stratify over
+# the 69 m range. All objects are yaw-rotated with front/back asymmetry
+# (cars: windshield slope; cyclists: rider lean) so heading sign is
+# learnable (same rationale as _pedestrian_points).
+# ---------------------------------------------------------------------------
+
+_KITTI_F = 721.0   # px, the real KITTI P2 focal
+_KITTI_CX = 609.0
+_KITTI_CY = 172.0
+_KITTI_IMG = (1242.0, 375.0)
+_KITTI_GROUND = -1.7
+
+
+def _rot_into_world(lx, ly, box):
+    """Local (+x = forward) offsets -> world, box-corner yaw convention."""
+    x, y = box[0], box[1]
+    c, s = np.cos(box[6]), np.sin(box[6])
+    return x + lx * c + ly * s, y - lx * s + ly * c
+
+
+def _car_points(rng, box, n):
+    """Box-shell car: roof + sides + a sloped windshield (front/back
+    asymmetry). Surfaces, not volume — a LiDAR sees the skin."""
+    x, y, z, w, l, h, r = box
+    face = rng.randint(0, 4, n)  # 0 roof, 1 left, 2 right, 3 hood/shield
+    u = rng.uniform(-0.5, 0.5, n)
+    v = rng.uniform(-0.5, 0.5, n)
+    lx = np.where(face == 3, (0.25 + 0.25 * (v + 0.5)) * l, u * l)
+    ly = np.where(face == 0, v * w,
+                  np.where(face == 1, -w / 2, np.where(face == 2, w / 2,
+                                                       v * w * 0.9)))
+    lz = np.where(face == 0, h * 0.95,
+                  np.where(face == 3, h * (0.9 - 0.5 * (v + 0.5)),
+                           (v + 0.5) * h * 0.85))
+    wx, wy = _rot_into_world(lx, ly, box)
+    pts = np.stack([wx, wy, z + lz], axis=1).astype(np.float32)
+    pts[:, :2] += rng.normal(0, 0.03, (n, 2))
+    return pts
+
+
+def _cyclist_points(rng, box, n):
+    """Two wheels in the local x-z plane + a rider blob leaning forward."""
+    x, y, z, w, l, h, r = box
+    kind = rng.uniform(0, 1, n)
+    wheel = kind < 0.4
+    ang = rng.uniform(-np.pi, np.pi, n)
+    wheel_cx = np.where(rng.uniform(0, 1, n) < 0.5, 0.3, -0.3) * l
+    lx = np.where(wheel, wheel_cx + 0.3 * l * np.cos(ang), 0.0)
+    lz = np.where(wheel, 0.3 * l * (1 + np.sin(ang)),
+                  h * (0.45 + 0.5 * rng.uniform(0, 1, n)))
+    # rider torso leans over the handlebars: forward offset grows with z
+    lx = np.where(~wheel, 0.15 * l * (lz / max(h, 1e-3)), lx)
+    ly = rng.normal(0, w * 0.18, n)
+    wx, wy = _rot_into_world(lx, ly, box)
+    pts = np.stack([wx, wy, z + np.clip(lz, 0, h)], axis=1)
+    pts[:, :2] += rng.normal(0, 0.02, (n, 2))
+    return pts.astype(np.float32)
+
+
+def _kitti_background(rng, n=45000):
+    """Ground plane with 1/r-thinned returns + far walls/buildings."""
+    n_g = int(n * 0.8)
+    # p(r) ~ 1/r: exponential of uniform over log-range
+    r = 2.0 * (69.0 / 2.0) ** rng.uniform(0, 1, n_g)
+    a = rng.uniform(-np.pi / 2, np.pi / 2, n_g)  # forward cone
+    pts = np.zeros((n, 3), dtype=np.float32)
+    pts[:n_g, 0] = r * np.cos(a)
+    pts[:n_g, 1] = np.clip(r * np.sin(a), -39.5, 39.5)
+    pts[:n_g, 2] = rng.normal(_KITTI_GROUND, 0.04, n_g)
+    n_w = n - n_g
+    side = rng.randint(0, 2, n_w) * 2 - 1
+    pts[n_g:, 0] = rng.uniform(5.0, 69.0, n_w)
+    pts[n_g:, 1] = side * rng.uniform(12.0, 39.5, n_w)
+    pts[n_g:, 2] = rng.uniform(_KITTI_GROUND, 2.5, n_w)
+    return pts
+
+
+_KITTI_CLASSES = ("Car", "Pedestrian", "Cyclist")
+
+
+def _kitti_box(rng, name, dist, ang):
+    x = dist * np.cos(ang)
+    y = np.clip(dist * np.sin(ang), -39.0, 39.0)
+    if name == "Car":
+        dims = (rng.uniform(1.55, 1.9), rng.uniform(3.6, 4.6),
+                rng.uniform(1.4, 1.7))
+    elif name == "Pedestrian":
+        dims = (rng.uniform(0.5, 0.7), rng.uniform(0.6, 1.0),
+                rng.uniform(1.5, 1.9))
+    else:
+        dims = (rng.uniform(0.5, 0.7), rng.uniform(1.6, 1.9),
+                rng.uniform(1.6, 1.8))
+    return np.array([x, y, _KITTI_GROUND, *dims,
+                     rng.uniform(-np.pi, np.pi)], dtype=np.float32)
+
+
+def make_scene_kitti(rng, max_cars: int = 10, max_peds: int = 5,
+                     max_cyc: int = 3):
+    """Returns (points [N,4] lidar incl. intensity, gt_boxes [K,7],
+    names [K], meta list for the KITTI label line)."""
+    objs = []  # (name, box)
+    counts = {"Car": rng.randint(1, max_cars + 1),
+              "Pedestrian": rng.randint(0, max_peds + 1),
+              "Cyclist": rng.randint(0, max_cyc + 1)}
+    for name, cnt in counts.items():
+        for _ in range(cnt):
+            for _try in range(30):
+                dist = 3.0 + 63.0 * rng.uniform(0, 1) ** 1.4
+                box = _kitti_box(rng, name,
+                                 dist, rng.uniform(-0.7, 0.7))
+                if not objs or np.all(np.linalg.norm(
+                        np.array([b[:2] for _, b in objs]) - box[:2],
+                        axis=1) > (4.0 if name == "Car" else 1.5)):
+                    break
+            objs.append((name, box))
+
+    pts_all = [_kitti_background(rng)]
+    names, gt, meta = [], [], []
+    # disc radius from the WIDTH: a disc of the full car length over-shadows
+    # (a rectangle seen end-on is narrow); width keeps the occlusion-label
+    # histogram spread over 0/1/2 instead of saturating at 2
+    occluders = [(b[0], b[1], b[3] * 0.5) for _, b in objs]
+    for oi, (name, b) in enumerate(objs):
+        dist = float(np.hypot(b[0], b[1]))
+        area = 2 * (b[3] + b[4]) * b[5] + b[3] * b[4]
+        n = max(int(900 * area / max(dist / 8.0, 1.0) ** 2), 4)
+        n = min(n, 4000)
+        if name == "Car":
+            raw = _car_points(rng, b, n)
+        elif name == "Pedestrian":
+            raw = _pedestrian_points(rng, b, n=n)
+        else:
+            raw = _cyclist_points(rng, b, n)
+        raw[:, :2] += rng.normal(0, 0.002 * dist, (len(raw), 2))
+        raw = _front_surface_cull(rng, raw, b[:2], keep_back=0.15)
+        # shadows from OTHER, nearer objects only
+        occ = [o for j, o in enumerate(occluders)
+               if j != oi and np.hypot(o[0], o[1]) < dist]
+        vis = _shadow_mask(raw, occ)
+        leak = rng.uniform(0.15, 0.6)
+        kept = raw[vis | (rng.uniform(0, 1, len(raw)) < leak)]
+        occ_frac = 1.0 - len(kept) / max(len(raw), 1)
+        pts_all.append(kept)
+        # KITTI-like pinhole bbox (camera z == lidar x): height gates
+        # 40/25/25 px stratify at ~28 m / ~45 m for a 1.56 m car
+        depth = max(b[0], 1.0)
+        h_px = _KITTI_F * b[5] / depth
+        w_px = _KITTI_F * max(b[3], b[4]) / depth
+        cx_px = _KITTI_CX + _KITTI_F * (-b[1]) / depth
+        cy_px = _KITTI_CY
+        x1, y1 = cx_px - w_px / 2, cy_px - h_px / 2
+        x2, y2 = cx_px + w_px / 2, cy_px + h_px / 2
+        cx1, cy1 = max(x1, 0.0), max(y1, 0.0)
+        cx2, cy2 = min(x2, _KITTI_IMG[0]), min(y2, _KITTI_IMG[1])
+        full = max((x2 - x1) * (y2 - y1), 1e-6)
+        clipped = max(cx2 - cx1, 0.0) * max(cy2 - cy1, 0.0)
+        names.append(name)
+        gt.append(b)
+        meta.append(dict(
+            truncated=float(np.clip(1.0 - clipped / full, 0.0, 1.0)),
+            occluded=0 if occ_frac < 0.25 else (1 if occ_frac < 0.6 else 2),
+            bbox=(cx1, cy1, max(cx2, cx1 + 1.0), max(cy2, cy1 + 1.0))))
+
+    pts = np.concatenate(pts_all, axis=0).astype(np.float32)
+    pts = pts[rng.uniform(0, 1, len(pts)) > 0.03]  # sensor dropout
+    intensity = rng.uniform(0.0, 1.0, (len(pts), 1)).astype(np.float32)
+    return (np.concatenate([pts, intensity], axis=1),
+            np.array(gt, dtype=np.float32).reshape(-1, 7),
+            np.array(names), meta)
+
+
 def _write_calib(path):
     p = " ".join(["0"] * 12)
     pr = " ".join(str(v) for v in np.eye(3, 4).reshape(-1))
@@ -334,8 +512,9 @@ def generate_dataset(root: str, num_train: int = 32, num_test: int = 8,
                      profile: str = "easy") -> str:
     """Create a full reference-format dataset under ``root``. Returns root.
 
-    ``profile``: "easy" (dense, unoccluded — hermetic plumbing tests) or
-    "hard" (the round-2 AP benchmark: see make_scene_hard)."""
+    ``profile``: "easy" (dense, unoccluded — hermetic plumbing tests),
+    "hard" (the round-2 AP benchmark: see make_scene_hard), or "kitti3"
+    (full-LiDAR-scale 3-class scenes for configs/kitti_3class.yaml)."""
     rng = np.random.RandomState(seed)
     rootp = pathlib.Path(root)
     for sub, count, training in (("training", num_train, True),
@@ -344,16 +523,19 @@ def generate_dataset(root: str, num_train: int = 32, num_test: int = 8,
             (rootp / sub / d).mkdir(parents=True, exist_ok=True)
         for i in range(count):
             sid = "%06d" % i
+            names = None
             if profile == "hard":
                 points, gt, meta = make_scene_hard(
                     rng, max_peds if max_peds != 3 else 5)
+            elif profile == "kitti3":
+                points, gt, names, meta = make_scene_kitti(rng)
             else:
                 points, gt = make_scene(rng, max_peds)
                 meta = None
             with open(rootp / sub / "velodyne" / f"{sid}.pkl", "wb") as f:
                 pickle.dump(points, f, 2)
             _write_kitti_label(rootp / sub / "label_2" / f"{sid}.txt", gt,
-                               meta)
+                               meta, names)
             _write_calib(rootp / sub / "calib" / f"{sid}.txt")
 
     ki.create_info_file(root, list(range(num_train)), training=True,
@@ -363,5 +545,7 @@ def generate_dataset(root: str, num_train: int = 32, num_test: int = 8,
     ki.calculate_num_points_in_gt(root, infos_val)
     with open(rootp / "kitti_infos_val.pkl", "wb") as f:
         pickle.dump(infos_val, f, 2)
-    ki.create_groundtruth_database(root, used_classes=["Pedestrian"])
+    classes = (["Car", "Pedestrian", "Cyclist"] if profile == "kitti3"
+               else ["Pedestrian"])
+    ki.create_groundtruth_database(root, used_classes=classes)
     return root
