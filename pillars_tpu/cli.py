@@ -194,10 +194,15 @@ def cmd_stream(args):
                                  window=args.window)
         print(json.dumps(stats))
         return
+    publisher = None
+    if args.viz_dir:
+        from pillars_tpu.viz.publisher import make_publisher
+
+        publisher = make_publisher("offline", out_dir=args.viz_dir)
     stats = run_stream(cfg, det, variables, hz=args.hz,
                        duration_s=args.duration,
                        source=args.source, window=args.window,
-                       buckets=buckets)
+                       buckets=buckets, publisher=publisher)
     print(json.dumps(stats))
 
 
@@ -434,6 +439,10 @@ def main(argv: Optional[List[str]] = None):
                     help=">1 serves N independent synthetic sensor streams "
                          "through ONE batched graph (multi-sensor serving; "
                          "per-stream drop-oldest mailboxes)")
+    sp.add_argument("--viz-dir", default=None,
+                    help="record the reference RVIZ topic stream "
+                         "(debug_points + bb_pred_guess_1) per frame to "
+                         "this directory via the OfflinePublisher")
     sp.set_defaults(fn=cmd_stream)
 
     sp = sub.add_parser(

@@ -156,7 +156,8 @@ def run_stream(cfg, detector, variables, hz: float = 120.0,
                duration_s: float = 5.0, source: str = "synthetic",
                on_detections: Optional[Callable] = None,
                window: int = 8,
-               buckets: Optional[Sequence[int]] = None) -> Dict:
+               buckets: Optional[Sequence[int]] = None,
+               publisher=None) -> Dict:
     """Pull frames from the mailbox through the jitted graph as fast as they
     arrive; report throughput / latency / drop statistics.
 
@@ -171,6 +172,11 @@ def run_stream(cfg, detector, variables, hz: float = 120.0,
     each frame runs through the smallest precompiled point-count bucket
     that holds it instead of the worst-case graph — all buckets are
     compiled during warmup so the stream never stalls on a mid-run compile.
+
+    ``publisher`` (a viz.publisher object) mirrors the reference's
+    production-mode RVIZ output per consumed frame: the raw cloud on
+    ``debug_points`` and score-filtered predictions on ``bb_pred_guess_1``
+    (reference train.py:810-829).
 
     reference production loop (train.py:689-861 + load_data.py:2244-2246)."""
     from collections import deque
@@ -222,14 +228,24 @@ def run_stream(cfg, detector, variables, hz: float = 120.0,
         out = jax.device_get(out)
         return out, (time.perf_counter() - t0) * 1e3
 
-    def consume(fut):
+    def consume(entry):
         nonlocal processed
+        fut, frame_pts = entry
         out, lat_ms = fut.result()
         latencies.append(lat_ms)
         processed += 1
-        if on_detections is not None:
+        keep = None
+        if on_detections is not None or publisher is not None:
             keep = out.valid[0] & (out.scores[0] >= min_score)
+        if on_detections is not None:
             on_detections(out.boxes_lidar[0][keep], out.scores[0][keep])
+        if publisher is not None:
+            from pillars_tpu.viz.publisher import publish_reference_topics
+
+            publish_reference_topics(
+                publisher, points=frame_pts,
+                pred_boxes=out.boxes_lidar[0][keep],
+                pred_scores=out.scores[0][keep])
 
     while True:
         frame, skipped = mailbox.take(timeout=2.0)
@@ -247,7 +263,7 @@ def run_stream(cfg, detector, variables, hz: float = 120.0,
         # HOST array: the bucketed dispatcher reads it for bucket selection,
         # and a device array there would cost a blocking D2H per frame
         out = infer(variables, pts, np.asarray([n], np.int32), eye, eye)
-        inflight.append(fetchers.submit(fetch, out, t0))
+        inflight.append((fetchers.submit(fetch, out, t0), pts[0, :n]))
         while len(inflight) >= window:
             consume(inflight.popleft())
     while inflight:

@@ -37,12 +37,36 @@ __all__ = ["BucketedInference", "default_bucket_ladder", "parse_bucket_arg"]
 
 def parse_bucket_arg(arg, max_points: int) -> Optional[Tuple[int, ...]]:
     """CLI bucket spec: None/'' -> None, 'auto' -> the default halving
-    ladder from ``max_points``, 'a,b,c' -> explicit rungs."""
+    ladder from ``max_points``, 'a,b,c' -> explicit rungs.
+
+    Validates up front: a malformed spec exits with a usage message
+    instead of an int() traceback, and rungs above ``max_points`` are
+    clamped with a warning — a rung wider than the model's point budget
+    would dispatch an unwarmed graph mid-eval (2-10 min compile on the
+    remote TPU) for zero benefit (ADVICE r3)."""
     if not arg:
         return None
     if arg == "auto":
         return default_bucket_ladder(int(max_points))
-    return tuple(int(b) for b in str(arg).split(","))
+    try:
+        rungs = tuple(int(b) for b in str(arg).split(","))
+    except ValueError:
+        raise SystemExit(
+            f"--buckets: expected 'auto' or comma-separated point counts "
+            f"(e.g. '32768,65536,131072'), got {arg!r}")
+    if not rungs or any(b <= 0 for b in rungs):
+        raise SystemExit(
+            f"--buckets: rungs must be positive integers, got {arg!r}")
+    over = [b for b in rungs if b > int(max_points)]
+    if over:
+        import sys
+
+        sys.stderr.write(
+            f"[buckets] rung(s) {over} exceed model.voxel.max_points="
+            f"{int(max_points)}; clamping (a wider bucket than the model's "
+            f"point budget never helps)\n")
+        rungs = tuple(min(b, int(max_points)) for b in rungs)
+    return tuple(sorted(set(rungs)))
 
 
 def default_bucket_ladder(max_points: int, levels: int = 3,

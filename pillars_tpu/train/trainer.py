@@ -79,8 +79,18 @@ class Evaluator:
 
             n = int(_np.asarray(batch["num_points"]).max(initial=0))
             b = self._bucketed.select_bucket(n)
-            if batch["points"].shape[1] > b:
-                batch = dict(batch, points=batch["points"][:, :b])
+            pts = _np.asarray(batch["points"])
+            if pts.shape[1] > b:
+                batch = dict(batch, points=pts[:, :b])
+            elif pts.shape[1] < b:
+                # a CLI bucket wider than the dataset's padded width: pad
+                # UP so _bucketed_infer keys an exact (warmed) rung —
+                # a non-bucket width would compile a new unwarmed graph
+                # mid-eval, 2-10 min on the remote TPU (ADVICE r3)
+                pad = _np.zeros((pts.shape[0], b - pts.shape[1],
+                                 pts.shape[2]), pts.dtype)
+                batch = dict(batch,
+                             points=_np.concatenate([pts, pad], axis=1))
         if (self.mesh is not None
                 and batch["points"].shape[0] % self.mesh.size == 0):
             from pillars_tpu.parallel import shard_batch

@@ -152,8 +152,15 @@ def rpn_cost(cfg: Config, batch: int = 1,
     model/voxelnet.py:517-717), on the config's BEV feature map."""
     m = cfg.model
     r = m.rpn
-    _, ny, nx = m.feature_map_size  # [1, ny, nx] at out_size_factor
-    h0, w0 = ny, nx
+    # blocks/deconvs resolve from the CANVAS (grid) — feature_map_size is
+    # already divided by out_size_factor = layer_strides[0]/upsample_strides[0],
+    # so starting there would double-count the first stride and under-count
+    # block FLOPs ~4x whenever out_size_factor != 1 (ADVICE r3). Heads run
+    # at feature_map_size (the deconv-concat output resolution).
+    nxc, nyc, _ = m.voxel.grid_size
+    h0, w0 = nyc, nxc
+    _, ny_f, nx_f = m.feature_map_size  # [1, ny, nx] at out_size_factor
+    hf, wf = ny_f, nx_f
 
     def conv2d(h, w, cin, cout, k=3, separable=r.use_separable_conv):
         if separable:
@@ -202,8 +209,8 @@ def rpn_cost(cfg: Config, batch: int = 1,
         out_ch += n_anchor * 2
     f_total = sum(r.num_upsample_filters)  # split heads == concat, same MACs
     heads = StageCost(
-        batch * 2.0 * h0 * w0 * f_total * out_ch,
-        batch * (h0 * w0 * (f_total + out_ch)) * dtype_bytes
+        batch * 2.0 * hf * wf * f_total * out_ch,
+        batch * (hf * wf * (f_total + out_ch)) * dtype_bytes
         + f_total * out_ch * dtype_bytes)
     return {"rpn_blocks": blocks, "rpn_deconvs": deconvs, "heads": heads}
 

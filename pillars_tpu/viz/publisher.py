@@ -146,6 +146,83 @@ class RosPublisher:
         self._pub(topic, PointCloud2).publish(msg)
 
 
+def confidence_map_boxes(cfg) -> BoxArray:
+    """Static pillar-grid boxes for the confidence-map topic: one flat
+    voxel-footprint box (0.2 m tall) per feature-map location, laid out
+    over the real-world field. reference train.py:651-673 (the
+    printConfidenceMap grid build; x/y swap + point_cloud_range offset).
+    The reference multiplies by ``voxel_size`` directly (its config has
+    out_size_factor 1); we scale by canvas/feature ratio so the grid stays
+    aligned for strided configs too — viz-only, not AP-load-bearing."""
+    pcr = np.asarray(cfg.model.voxel.point_cloud_range, np.float32)
+    vx, vy = cfg.model.voxel.voxel_size[:2]
+    nx_g, ny_g, _ = cfg.model.voxel.grid_size
+    _, ny_f, nx_f = cfg.model.feature_map_size
+    sx = vx * (nx_g / nx_f)
+    sy = vy * (ny_g / ny_f)
+    jj, ii = np.meshgrid(np.arange(nx_f), np.arange(ny_f))  # x-fast like ref
+    centers = np.stack([
+        jj.ravel() * sx + pcr[0],
+        ii.ravel() * sy + pcr[1],
+        np.zeros(nx_f * ny_f, np.float32)], axis=1).astype(np.float32)
+    dims = np.tile(np.array([sx, sy, 0.2], np.float32), (len(centers), 1))
+    yaws = np.zeros(len(centers), np.float32)
+    return BoxArray(centers, dims, yaws)
+
+
+def publish_reference_topics(pub, *, points: Optional[np.ndarray] = None,
+                             pred_boxes: Optional[np.ndarray] = None,
+                             pred_scores: Optional[np.ndarray] = None,
+                             gt_boxes: Optional[np.ndarray] = None,
+                             candidate_boxes: Optional[np.ndarray] = None,
+                             cls_scores: Optional[np.ndarray] = None,
+                             cfg=None) -> None:
+    """Emit one frame on the reference's RVIZ topic set (the live-ROS
+    contract, pinned headlessly via OfflinePublisher in
+    tests/test_viz_capture.py):
+
+    - ``debug_points``        raw cloud      (reference load_data.py:2071)
+    - ``bb_pred_guess_1``     predictions    (reference train.py:677,828)
+    - ``bb_ground_truth``     annotations    (reference
+                              scripts/rviz_show_predictions.py:295)
+    - ``debug_load_data_bb``  capture/candidate boxes
+                              (reference load_data.py:2072,2099)
+    - ``bb_pub_confidenceMap`` per-location class scores on the static
+                              pillar grid (reference train.py:648,804-808;
+                              pass raw head scores — the reference sends
+                              logits straight through as box ``value``)
+
+    Every argument is optional: only the provided topics publish, so the
+    streaming path (no gt available) and the capture path (no predictions)
+    share this one contract point."""
+    if points is not None:
+        pub.publish_points("debug_points", np.asarray(points))
+    if pred_boxes is not None:
+        pub.publish_boxes("bb_pred_guess_1",
+                          BoxArray.from_boxes7(pred_boxes, pred_scores))
+    if gt_boxes is not None:
+        pub.publish_boxes("bb_ground_truth", BoxArray.from_boxes7(gt_boxes))
+    if candidate_boxes is not None:
+        pub.publish_boxes("debug_load_data_bb",
+                          BoxArray.from_boxes7(candidate_boxes))
+    if cls_scores is not None:
+        if cfg is None:
+            raise ValueError("cls_scores needs cfg for the pillar grid")
+        grid = confidence_map_boxes(cfg)
+        scores = np.asarray(cls_scores).reshape(-1)
+        if len(scores) != len(grid.centers):
+            raise ValueError(
+                f"cls_scores has {len(scores)} entries, feature map has "
+                f"{len(grid.centers)} locations")
+        pub.publish_boxes("bb_pub_confidenceMap", BoxArray(
+            grid.centers, grid.dims, grid.yaws, scores))
+
+
+REFERENCE_TOPIC_SET = frozenset({
+    "debug_points", "bb_pred_guess_1", "bb_ground_truth",
+    "debug_load_data_bb", "bb_pub_confidenceMap"})
+
+
 def make_publisher(kind: str = "auto", out_dir: Optional[str] = None):
     """kind: 'ros' | 'offline' | 'null' | 'auto' (ros if available, else
     offline when out_dir given, else null)."""

@@ -64,6 +64,42 @@ class TestLadder:
         with pytest.raises(ValueError):
             BucketedInference(CFG, buckets=[0, 1024])
 
+    def test_parse_bucket_arg_validation(self):
+        """Malformed CLI specs exit with a usage message (not an int()
+        traceback); rungs above max_points clamp with a warning — a wider
+        bucket would compile an unwarmed graph mid-eval (ADVICE r3)."""
+        from pillars_tpu.infer import parse_bucket_arg
+
+        assert parse_bucket_arg("", 4096) is None
+        assert parse_bucket_arg(None, 4096) is None
+        assert parse_bucket_arg("auto", 131072) == (32768, 65536, 131072)
+        assert parse_bucket_arg("4096,1024", 4096) == (1024, 4096)
+        with pytest.raises(SystemExit):
+            parse_bucket_arg("32k", 4096)
+        with pytest.raises(SystemExit):
+            parse_bucket_arg("-5,100", 4096)
+        assert parse_bucket_arg("1024,999999", 4096) == (1024, 4096)
+
+    def test_evaluator_pads_batch_up_to_wide_bucket(self):
+        """A CLI bucket wider than the dataset's padded width must pad UP
+        in _device_put so dispatch keys an exact (warmed) rung instead of
+        compiling a new graph mid-eval (ADVICE r3)."""
+        from pillars_tpu.train.trainer import Evaluator
+
+        ev = object.__new__(Evaluator)  # dataset-free: pin _device_put only
+        ev._bucketed = BucketedInference(CFG, buckets=[4096])
+        ev.mesh = None
+        ev.cfg = CFG
+        batch = {"points": np.zeros((2, 1000, 3), np.float32),
+                 "num_points": np.array([500, 700], np.int32)}
+        out = ev._device_put(batch)
+        assert np.asarray(out["points"]).shape[1] == 4096
+        # and slicing down still works
+        wide = {"points": np.zeros((2, 8192, 3), np.float32),
+                "num_points": np.array([10, 10], np.int32)}
+        out = ev._device_put(wide)
+        assert np.asarray(out["points"]).shape[1] == 4096
+
 
 class TestEquality:
     """Same cloud, every rung: bit-equal predictions."""

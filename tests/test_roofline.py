@@ -62,6 +62,33 @@ class TestStageCounts:
                 + 2 * 2 * hw * (9 * 64 + 64 * 64))  # blocks 2,3: conv0 only
         assert got == want
 
+    def test_blocks_resolve_from_canvas_not_feature_map(self):
+        """out_size_factor != 1 (layer_strides[0]=2, upsample_strides[0]=1):
+        block resolutions derive from the CANVAS (64x80), not from
+        feature_map_size (already canvas/osf) — starting at the feature map
+        double-counted the first stride, under-counting block FLOPs ~4x
+        (ADVICE r3). Heads stay at feature_map_size."""
+        cfg = _default()
+        cfg = cfg.override("model.rpn.layer_strides", [2, 2, 2])
+        cfg = cfg.override("model.rpn.upsample_strides", [1, 2, 4])
+        cfg = cfg.override("model.rpn.layer_nums", [3, 0, 0])
+        cfg = cfg.override("model.rpn.num_filters", [64, 64, 64])
+        got = rf.rpn_cost(cfg)["rpn_blocks"].flops
+        hw1, hw2, hw3 = 32 * 40, 16 * 20, 8 * 10  # canvas/2, /4, /8
+        want = (2 * hw1 * (9 * 128 + 128 * 64)
+                + 3 * 2 * hw1 * (9 * 64 + 64 * 64)
+                + 2 * hw2 * (9 * 64 + 64 * 64)
+                + 2 * hw3 * (9 * 64 + 64 * 64))
+        assert got == want
+        # heads run at the deconv-concat output = feature_map_size (32x40)
+        _, ny_f, nx_f = cfg.model.feature_map_size
+        assert (ny_f, nx_f) == (32, 40)
+        f_total = sum(cfg.model.rpn.num_upsample_filters)
+        n_anchor = cfg.model.num_anchors_per_loc
+        out_ch = n_anchor * (cfg.model.box_code_size + 1 + 2)
+        assert rf.rpn_cost(cfg)["heads"].flops == (
+            2 * 32 * 40 * f_total * out_ch)
+
     def test_plain_conv_costs_more(self):
         cfg = _default()
         plain = cfg.override("model.rpn.use_separable_conv", False)
