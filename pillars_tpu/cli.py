@@ -92,8 +92,9 @@ def cmd_evaluate(args):
         print("[evaluate] no checkpoint given - random init", file=sys.stderr)
         variables = det.init(jax.random.PRNGKey(0), batch_size=1)
     from pillars_tpu.infer import parse_bucket_arg
-    buckets = parse_bucket_arg(getattr(args, "buckets", None),
-                               cfg.model.voxel.max_points)
+    buckets = parse_bucket_arg(
+        getattr(args, "buckets", None) or cfg.eval_input.buckets,
+        cfg.model.voxel.max_points)
     ev = Evaluator(cfg, det, measure_time=cfg.runtime.measure_time,
                    buckets=buckets)
     if args.save_predictions:

@@ -93,6 +93,34 @@ def synthetic_source(mailbox: LatestFrameMailbox, hz: float,
     return t
 
 
+def bank_source(mailbox: LatestFrameMailbox, hz: float, duration_s: float,
+                frames) -> threading.Thread:
+    """Publish PRE-GENERATED frames round-robin at ``hz``.
+
+    For serving measurements: per-frame scene synthesis costs more CPU
+    than the whole dispatch loop on a small host, so an 8-stream run with
+    live synthetic sources measures the host's generator, not the device
+    path (the r3 multi-stream probe failed exactly this way). A bank
+    publish is one lock + reference assignment."""
+    def run():
+        period = 1.0 / hz
+        t_end = time.perf_counter() + duration_s
+        nxt = time.perf_counter()
+        i = 0
+        while time.perf_counter() < t_end:
+            mailbox.publish(frames[i % len(frames)])
+            i += 1
+            nxt += period
+            dt = nxt - time.perf_counter()
+            if dt > 0:
+                time.sleep(dt)
+        mailbox.close()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    return t
+
+
 def replay_source(mailbox: LatestFrameMailbox, hz: float, duration_s: float,
                   dataset_root: str, info_name: str = "kitti_infos_val.pkl"
                   ) -> threading.Thread:
@@ -201,8 +229,9 @@ def run_stream(cfg, detector, variables, hz: float = 120.0,
         infer = detector.make_inference_fn(
             cfg.eval_input.anchor_area_threshold)
         warm = np.zeros((1, maxpts, 3), np.float32)
-        jax.block_until_ready(infer(variables, warm,
-                                    jnp.asarray([0], jnp.int32), eye, eye))
+        # device_get, not block_until_ready: see run_multi_stream warmup
+        jax.device_get(infer(variables, warm,
+                             jnp.asarray([0], jnp.int32), eye, eye).scores)
 
     mailbox = LatestFrameMailbox()
     if source == "synthetic":
@@ -284,7 +313,8 @@ def run_stream(cfg, detector, variables, hz: float = 120.0,
 def run_multi_stream(cfg, detector, variables, num_streams: int = 4,
                      hz: float = 30.0, duration_s: float = 5.0,
                      window: int = 8,
-                     on_detections: Optional[Callable] = None) -> Dict:
+                     on_detections: Optional[Callable] = None,
+                     source_fn: Optional[Callable] = None) -> Dict:
     """Serve N independent sensor streams through ONE batched jitted graph.
 
     The multi-sensor serving pattern: a robot with N depth cameras (or N
@@ -302,7 +332,10 @@ def run_multi_stream(cfg, detector, variables, num_streams: int = 4,
     emits no valid detections for that slot).
 
     ``on_detections(stream_idx, boxes_lidar, scores)`` fires per fresh
-    slot, in dispatch order.
+    slot, in dispatch order. ``source_fn(mailbox, stream_idx)`` overrides
+    the per-stream producer (default: live synthetic scenes; serving
+    benchmarks inject :func:`bank_source` so host-side scene synthesis
+    doesn't masquerade as the serving ceiling).
 
     No reference counterpart — the reference's production loop is
     single-sensor (train.py:689-861); batched serving is what the one
@@ -320,14 +353,20 @@ def run_multi_stream(cfg, detector, variables, num_streams: int = 4,
     eyes = jnp.tile(jnp.eye(4, dtype=jnp.float32), (N, 1, 1))
     min_score = cfg.runtime.prediction_min_score
 
-    # compile the B=N graph BEFORE the sources start
-    jax.block_until_ready(infer(
+    # compile the B=N graph BEFORE the sources start. Forced with
+    # device_get, NOT block_until_ready: on relay-attached devices the
+    # latter returns before the device finishes, so the compile would
+    # land inside the measurement window (r3 probe failure mode)
+    jax.device_get(infer(
         variables, np.zeros((N, maxpts, 3), np.float32),
-        np.zeros((N,), np.int32), eyes, eyes))
+        np.zeros((N,), np.int32), eyes, eyes).scores)
 
     mailboxes = [LatestFrameMailbox() for _ in range(N)]
     for i, mb in enumerate(mailboxes):
-        synthetic_source(mb, hz, duration_s, seed=i)
+        if source_fn is not None:
+            source_fn(mb, i)
+        else:
+            synthetic_source(mb, hz, duration_s, seed=i)
 
     processed = np.zeros(N, np.int64)
     skipped = np.zeros(N, np.int64)

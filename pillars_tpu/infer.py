@@ -158,7 +158,10 @@ class BucketedInference:
         num = jnp.zeros((batch_size,), jnp.int32)
         for b in self.buckets:
             pts = jnp.zeros((batch_size, b, d), jnp.float32)
-            jax.block_until_ready(self._fn(b)(variables, pts, num, eye, eye))
+            # device_get-forced: on relay-attached devices
+            # block_until_ready returns before the device finishes, so a
+            # compile could otherwise land inside a measurement window
+            jax.device_get(self._fn(b)(variables, pts, num, eye, eye).scores)
 
     # ------------------------------------------------------------------
     def __call__(self, variables, points, num_valid, rect, trv2c):

@@ -90,6 +90,10 @@ class _Block(nn.Module):
     separable: bool = True
     shift_add: bool = False
     dtype: Optional[jnp.dtype] = None
+    # rpn.remat_bf16: the caller hands a bfloat16 boundary tensor (the
+    # remat-stored residual); upcast to f32 HERE so every conv/BN inside
+    # still computes in f32 — only the stored copy is half-width
+    in_upcast: bool = False
 
     def _conv(self, x, stride, padding, name):
         if self.separable:
@@ -102,6 +106,8 @@ class _Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
+        if self.in_upcast:
+            x = x.astype(jnp.float32)
         # explicit ((1,1),(1,1)) zero pad + VALID conv == keras
         # ZeroPadding2D + SeparableConv2D(valid) (voxelnet.py:574-576)
         x = self._conv(x, self.stride, ((1, 1), (1, 1)), "conv0")
@@ -127,9 +133,12 @@ class _Deconv(nn.Module):
     bn_momentum: float
     bn_eps: float
     dtype: Optional[jnp.dtype] = None
+    in_upcast: bool = False  # see _Block.in_upcast
 
     @nn.compact
     def __call__(self, x, train: bool):
+        if self.in_upcast:
+            x = x.astype(jnp.float32)
         x = nn.ConvTranspose(self.features,
                              kernel_size=(self.stride, self.stride),
                              strides=(self.stride, self.stride),
@@ -178,17 +187,35 @@ class RPN(nn.Module):
                  else _Block)
         Deconv = (nn.remat(_Deconv, static_argnums=(2,)) if rcfg.remat
                   else _Deconv)
+        # rpn.remat_bf16: the residuals the remat backward stores are
+        # exactly the boundary tensors between checkpointed modules (the
+        # canvas, the three block outputs, the three deconv outputs).
+        # Casting each boundary to bf16 halves that stored-activation HBM
+        # traffic — the measured wall of the KITTI backward — while the
+        # modules upcast on entry so every conv/BN/grad stays f32. The
+        # same bf16 array feeds both the deconv and the next block, so
+        # each boundary is stored once.
+        bf16 = bool(rcfg.remat and rcfg.remat_bf16 and self.dtype is None)
+
+        def cast(a):
+            return a.astype(jnp.bfloat16) if bf16 else a
+
         ups = []
+        x = cast(x)
         for i in range(3):
-            x = Block(rcfg.num_filters[i], rcfg.layer_nums[i],
-                      rcfg.layer_strides[i], rcfg.bn_momentum, rcfg.bn_eps,
-                      separable=rcfg.use_separable_conv,
-                      shift_add=rcfg.depthwise_shift_add,
-                      dtype=self.dtype, name=f"block{i + 1}")(x, train)
-            ups.append(
+            x = cast(Block(rcfg.num_filters[i], rcfg.layer_nums[i],
+                           rcfg.layer_strides[i], rcfg.bn_momentum,
+                           rcfg.bn_eps, separable=rcfg.use_separable_conv,
+                           shift_add=rcfg.depthwise_shift_add,
+                           dtype=self.dtype, in_upcast=bf16,
+                           name=f"block{i + 1}")(x, train))
+            ups.append(cast(
                 Deconv(rcfg.num_upsample_filters[i], rcfg.upsample_strides[i],
                        rcfg.bn_momentum, rcfg.bn_eps, dtype=self.dtype,
-                       name=f"deconv{i + 1}")(x, train))
+                       in_upcast=bf16, name=f"deconv{i + 1}")(x, train)))
         if not rcfg.no_concat_heads:
             ups = [jnp.concatenate(ups, axis=-1)]  # [B, ny, nx, 384]
+        # under bf16 boundaries the heads receive bf16 ups: promote_dtype
+        # against the f32 kernels computes (and returns) f32, while the
+        # heads' own saved residuals stay the half-width ups
         return _apply_heads(self.cfg, ups, self.dtype)

@@ -252,9 +252,14 @@ class Trainer:
                                        with_metrics=cfg.train.train_metrics)
         self.tm_state = (TrainMetricsState.init()
                          if cfg.train.train_metrics else None)
-        self.evaluator = (Evaluator(cfg, self.detector)
-                          if cfg.train.do_evaluate and cfg.eval_input.info_path
-                          else None)
+        self.evaluator = None
+        if cfg.train.do_evaluate and cfg.eval_input.info_path:
+            from pillars_tpu.infer import parse_bucket_arg
+
+            self.evaluator = Evaluator(
+                cfg, self.detector,
+                buckets=parse_bucket_arg(cfg.eval_input.buckets,
+                                         cfg.model.voxel.max_points))
 
         if cfg.train.load_weights:
             params, batch_stats = ckpt.load_params(cfg.train.load_weights)

@@ -31,6 +31,9 @@ def main():
     # restores the store-all baseline for A/Bs
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--no-remat", action="store_true")
+    # bf16-STORED-activations with f32 compute/params/grads (rpn.remat_bf16)
+    # — distinct from --bf16, which flips the compute dtype wholesale
+    ap.add_argument("--remat-bf16", action="store_true")
     args = ap.parse_args()
 
     cfg = Config.from_yaml("configs/kitti_3class.yaml")
@@ -40,6 +43,9 @@ def main():
         cfg = cfg.override("model.rpn.remat", True)
     if args.no_remat:
         cfg = cfg.override("model.rpn.remat", False)
+    if args.remat_bf16:
+        cfg = cfg.override("model.rpn.remat", True)
+        cfg = cfg.override("model.rpn.remat_bf16", True)
     det = PillarsDetector(cfg)
     B = args.batch
     state, tx = create_train_state(det, jax.random.PRNGKey(0), B)

@@ -292,3 +292,74 @@ class TestRemat:
                 np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                            rtol=1e-10, atol=1e-10,
                                            err_msg=str(p1))
+
+    def test_remat_bf16_boundaries_close_to_f32(self, rng):
+        """rpn.remat_bf16 stores the 7 block-boundary residuals in bf16
+        (halving the stored-activation traffic the KITTI backward is
+        bound on) while params/compute/grads stay f32. Not bit-exact by
+        design — pin that (a) param/grad trees keep f32 dtypes, (b)
+        forward preds and grads track the f32-remat path within bf16
+        rounding (boundary quantization only, not bf16 compute)."""
+        import jax
+        import jax.numpy as jnp
+        from pillars_tpu.config import Config
+        from pillars_tpu.models.detector import PillarsDetector
+
+        cfg = Config.default()
+        cfg = cfg.override("model.voxel.max_points", 2048)
+        cfg_r = cfg.override("model.rpn.remat", True)
+        cfg_b = cfg_r.override("model.rpn.remat_bf16", True)
+        det_r = PillarsDetector(cfg_r)
+        det_b = PillarsDetector(cfg_b)
+        variables = det_r.init(jax.random.PRNGKey(0), batch_size=1)
+        n = 300
+        pts = np.zeros((1, 2048, 3), np.float32)
+        pts[0, :n, 0] = rng.uniform(0, 6.4, n)
+        pts[0, :n, 1] = rng.uniform(-2.5, 2.5, n)
+        pts[0, :n, 2] = rng.uniform(-2.9, 0.5, n)
+        vox = det_r.voxelize_batch(jnp.asarray(pts),
+                                   jnp.asarray([n], jnp.int32))
+
+        def fwd_and_grad(d):
+            def f(p):
+                preds, _ = d.network.apply(
+                    {"params": p, "batch_stats": variables["batch_stats"]},
+                    vox, True, mutable=["batch_stats"])
+                return jnp.sum(preds["box_preds"] ** 2), preds
+            (_, preds), grads = jax.value_and_grad(f, has_aux=True)(
+                variables["params"])
+            return preds, grads
+
+        preds_r, g_r = fwd_and_grad(det_r)
+        preds_b, g_b = fwd_and_grad(det_b)
+        # (a) outputs and every grad leaf stay f32
+        assert preds_b["box_preds"].dtype == jnp.float32
+        for leaf in jax.tree_util.tree_leaves(g_b):
+            assert leaf.dtype == jnp.float32
+        # (b) boundary quantization, not divergence: relative L2 per tensor
+        d = np.linalg.norm(np.asarray(preds_b["box_preds"])
+                           - np.asarray(preds_r["box_preds"]))
+        s = np.linalg.norm(np.asarray(preds_r["box_preds"])) + 1e-12
+        assert d / s < 3e-2, f"forward rel-L2 {d / s:.4f}"
+        # Grad criterion: per-leaf rel-L2 is the wrong bar for a
+        # quantization lever — 0.4%-per-boundary rounding compounds
+        # through 19 conv layers into few-% noise on early-layer grads
+        # (measured: rpn leaves ~1e-3, pfn dense kernel ~0.37 rel with
+        # near-orthogonal noise), exactly the regime standard bf16 mixed
+        # precision trains through. Pin what must hold: every leaf that
+        # MATTERS (>=1% of the dominant grad magnitude) keeps its
+        # DIRECTION (cosine > 0.9), and nothing is wildly rescaled.
+        gmax = max(np.linalg.norm(np.asarray(leaf))
+                   for leaf in jax.tree_util.tree_leaves(g_r))
+        for (p1, a), (p2, b) in zip(
+                jax.tree_util.tree_leaves_with_path(g_r),
+                jax.tree_util.tree_leaves_with_path(g_b)):
+            assert p1 == p2
+            a = np.asarray(a).ravel()
+            b = np.asarray(b).ravel()
+            na, nb = np.linalg.norm(a), np.linalg.norm(b)
+            if na < 1e-2 * gmax:
+                continue  # negligible contribution to the update
+            cos = float(a @ b / (na * nb + 1e-12))
+            assert cos > 0.9, f"{p1}: grad cosine {cos:.4f}"
+            assert 0.5 < nb / na < 2.0, f"{p1}: norm ratio {nb / na:.3f}"
