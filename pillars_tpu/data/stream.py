@@ -321,8 +321,12 @@ def run_multi_stream(cfg, detector, variables, num_streams: int = 4,
     robots sharing one TPU host) amortizes the per-dispatch latency that
     dominates small graphs across the batch — the B=8 d435i graph costs
     ~8.5 ms vs ~1.25 ms at B=1 (docs/PERFORMANCE.md roofline: both
-    latency-bound), so 8 streams ride one dispatch at ~118 Hz each
-    instead of paying it 8 times over.
+    latency-bound). Measured on the relay-attached chip
+    (probe_multi_stream.py 2026-08-20): 8 streams serve 162.9 clouds/s
+    aggregate through one dispatch path vs 54.2 single-stream
+    same-session — and 2 streams RAISE per-stream throughput (61.6 Hz
+    vs 54.2) because the batch amortizes the RTT-bound dispatch. Full
+    table + interpretation in docs/PERFORMANCE.md "Multi-stream serving".
 
     Each stream keeps its own :class:`LatestFrameMailbox` (per-sensor
     drop-oldest semantics); a dispatch fires as soon as at least one

@@ -192,3 +192,37 @@ class TestStreamEndToEnd:
         assert all(c >= 1 for c in stats["per_stream_processed"])
         assert stats["aggregate_hz"] > 0
         assert stats["latency_p50_ms"] > 0
+
+    def test_multi_stream_bank_source_injection(self):
+        """Serving benchmarks inject pre-generated frame banks via
+        ``source_fn`` so host-side scene synthesis can't masquerade as
+        the serving ceiling (probe_multi_stream.py). Pin the injection
+        contract: the banks' frames are what the graph sees, round-robin
+        per stream, and accounting still balances."""
+        import jax
+
+        from pillars_tpu.config import Config
+        from pillars_tpu.data.stream import bank_source, run_multi_stream
+        from pillars_tpu.models.detector import PillarsDetector
+
+        cfg = Config.default()
+        cfg = cfg.override("model.voxel.max_points", 4096)
+        cfg = cfg.override("model.voxel.max_voxels", 512)
+        det = PillarsDetector(cfg)
+        variables = det.init(jax.random.PRNGKey(0), batch_size=2)
+        rng = np.random.RandomState(0)
+        # distinctive banks: stream i's points live at x ~= i + 1
+        banks = {}
+        for i in range(2):
+            f = np.zeros((200, 3), np.float32)
+            f[:, 0] = i + 1.0 + rng.uniform(-0.05, 0.05, 200)
+            f[:, 1] = rng.uniform(-0.5, 0.5, 200)
+            f[:, 2] = rng.uniform(-1.5, -0.5, 200)
+            banks[i] = [f]
+        stats = run_multi_stream(
+            cfg, det, variables, num_streams=2, hz=20, duration_s=1.5,
+            window=2,
+            source_fn=lambda mb, i: bank_source(mb, 20, 1.5, banks[i]))
+        assert stats["frames_processed"] >= 2
+        assert all(c >= 1 for c in stats["per_stream_processed"])
+        assert sum(stats["per_stream_processed"]) == stats["frames_processed"]
