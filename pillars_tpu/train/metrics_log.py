@@ -1,11 +1,13 @@
 """Metric logging with the reference's wandb key names, pluggable sinks.
 
-reference libraries/train_helper_functions.py:6-91: loss scalars every 10
-steps ('loss_locatization' [sic], 'loss_classification', 'loss_direction',
-'loss', 'learning_rate', epoch), 18 eval APs + average per epoch
-('ev_3d_50' ... 'ev_aos_75', 'ev_average'). Key names are preserved for
-dashboard comparability. Sinks: wandb (if importable + configured), CSV,
-stdout.
+reference libraries/train_helper_functions.py:6-40: loss scalars every 10
+steps ('loc_loss_reduced', 'cls_loss_reduced', 'dir_loss_reduced', 'loss',
+'learning_rate', 'epochs'), 18 eval APs + average per epoch ('ev_3d_50'
+... 'ev_3d_75', 'ev_aos_50' ... 'ev_aos_75', 'ev_bev_70' ... 'ev_bev_95'
+-- the BEV columns are labeled by the BEV IoU ladder 0.70-0.95, not the
+3D ladder -- and 'avg'). Key names match the reference's actual wandb
+keys for dashboard comparability. Sinks: wandb (if importable +
+configured), CSV, stdout.
 """
 
 from __future__ import annotations
@@ -73,25 +75,31 @@ class MetricLogger:
         ``extra``: e.g. the streaming train-metrics dict
         (train/metrics.py::update_metrics) when train.train_metrics is on."""
         row = {
-            "loss_locatization": m.loc_loss_reduced,
-            "loss_classification": m.cls_loss_reduced,
-            "loss_direction": m.dir_loss_reduced,
+            "loc_loss_reduced": m.loc_loss_reduced,
+            "cls_loss_reduced": m.cls_loss_reduced,
+            "dir_loss_reduced": m.dir_loss_reduced,
             "loss": m.loss,
             "learning_rate": m.learning_rate,
-            "epoch": epoch,
+            "epochs": epoch,
         }
         if extra:
             row.update(extra)
         self.log(step, row)
 
-    def log_eval(self, step: int, mAP3d, mAPaos, mAPbev, score: float) -> None:
-        """reference log_wandb_eval (train_helper_functions.py:18-39)."""
-        thresholds = ["50", "55", "60", "65", "70", "75"]
+    def log_eval(self, step: int, mAP3d, mAPaos, mAPbev, score: float,
+                 extra: Optional[Dict[str, float]] = None) -> None:
+        """reference log_wandb_eval (train_helper_functions.py:18-40).
+        BEV columns carry the reference's 70-95 labels (its BEV IoU
+        ladder); 3d/aos carry 50-75. ``extra``: repo-local detection-
+        quality proxies (eval/proxies.py) appended to the same row."""
         metrics = {}
-        for i, t in enumerate(thresholds):
+        for i, t in enumerate(["50", "55", "60", "65", "70", "75"]):
             metrics[f"ev_3d_{t}"] = mAP3d[0][0][i]
             metrics[f"ev_aos_{t}"] = (mAPaos[0][0][i]
                                       if mAPaos is not None else 0.0)
+        for i, t in enumerate(["70", "75", "80", "85", "90", "95"]):
             metrics[f"ev_bev_{t}"] = mAPbev[0][0][i]
-        metrics["ev_average"] = score
+        metrics["avg"] = score
+        if extra:
+            metrics.update(extra)
         self.log(step, metrics)

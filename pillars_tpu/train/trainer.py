@@ -23,6 +23,7 @@ from pillars_tpu.data.sampler import DataBaseSampler
 from pillars_tpu.eval import kitti_ap
 from pillars_tpu.eval.predict_to_anno import (infos_to_gt_annos,
                                               predictions_to_annos)
+from pillars_tpu.eval.proxies import detection_quality_proxies
 from pillars_tpu.models.detector import PillarsDetector
 from pillars_tpu.train import checkpoint as ckpt
 from pillars_tpu.train.metrics import TrainMetricsState
@@ -45,6 +46,7 @@ class Evaluator:
         self.dataset = PedestrianDataset(cfg, cfg.eval_input, training=False)
         self.class_names = list(cfg.eval_input.desired_objects)
         self.measure_time = measure_time
+        self.last_proxies: Dict[str, float] = {}
         # bucketed static-shape dispatch (pillars_tpu/infer.py): batches
         # are sliced host-side to the smallest bucket holding their
         # largest cloud BEFORE device_put, then routed to that bucket's
@@ -203,7 +205,11 @@ class Evaluator:
         if self.cfg.eval_input.no_annos_mode:
             # reference returns (score 0, "no evaluation") so the caller's
             # gating/logging still works (train.py:879-880)
+            self.last_proxies = {}
             return "no evaluation (no_annos_mode)", 0.0, 0.0, 0.0, 0.0
+        # detection-quality proxies: visible per-epoch movement long
+        # before AP lifts off (eval/proxies.py; VERDICT r4 #6)
+        self.last_proxies = detection_quality_proxies(dt_annos, gt_annos)
         result, _, mAPbev, mAP3d, mAPaos = kitti_ap.get_official_eval_result(
             gt_annos, dt_annos, self.class_names, compute_bbox=False)
         score = kitti_ap.aggregate_eval_score(mAP3d, mAPaos, mAPbev)
@@ -404,7 +410,9 @@ class Trainer:
             self.variables(), max_samples=eval_max_samples,
             save_path=os.path.join(self.dirs["results"],
                                    f"result_{epoch}.pkl"))
-        self.logger.log_eval(step_count, d3, aos, bev, score)
+        self.logger.log_eval(step_count, d3, aos, bev, score,
+                             extra=getattr(self.evaluator,
+                                           "last_proxies", None))
         print(f"[eval] epoch {epoch} score {score:.2f} "
               f"(best {best_score:.2f})")
         with open(os.path.join(self.dirs["results"],

@@ -10,41 +10,30 @@ share; a fully-fused amask+postprocess at most theirs.
 
 Methodology = bench.py: N batches inside one jitted fori/scan over a
 cloud bank, device_get-forced, sync baseline subtracted. Weights and bank
-enter as jit arguments.
+enter as jit arguments. The whole session runs under
+utils/probe_harness.ProbeHarness (VERDICT r4 #3): every measurement
+re-checks the sync baseline for contention drift, the DCE-subset
+orderings (vox ⊆ fwd_nomask ⊆ fwd_only ⊆ e2e) are enforced, and the
+script exits nonzero on a REJECT verdict so polluted numbers cannot be
+published (the fate of both round-4 in-session runs).
 
 Usage: PYTHONPATH=/root/repo:$PYTHONPATH JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache \
        python scripts/probe_d435i_levers.py
 """
 
 import json
-import time
 
 import numpy as np
 
+from pillars_tpu.utils.probe_harness import ProbeHarness, jax_sync_fn
 
-def _timed(run, ops, n_iter, reps):
-    """bench.py clock: compile+execute once, subtract the device_get sync
-    baseline (a trivial jitted reduce on the same bank operand), then one
-    timed multi-rep run."""
+
+def _measure(h, name, run, ops, n_iter, reps):
+    """Compile+warm outside the timed path, then one harness-gated run."""
     import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def base(c):
-        return jnp.sum(c[0, 0, 0].astype(jnp.float32))
 
     _ = jax.device_get(run(*ops, 1))
-    _ = jax.device_get(base(ops[1]))
-    syncs = []
-    for _i in range(3):
-        t0 = time.perf_counter()
-        _ = jax.device_get(base(ops[1]))
-        syncs.append(time.perf_counter() - t0)
-    sync = min(syncs)
-    t0 = time.perf_counter()
-    _ = jax.device_get(run(*ops, reps))
-    total = time.perf_counter() - t0
-    return (total - sync) * 1e3 / n_iter
+    return h.measure(name, lambda: jax.device_get(run(*ops, reps)), n_iter)
 
 
 def main():
@@ -105,13 +94,18 @@ def main():
         return (jnp.sum(cv.points) + jnp.sum(cv.count)
                 + jnp.sum(cv.mean) + jnp.sum(cv.kept))
 
+    h = ProbeHarness(jax_sync_fn(jax.device_put(pts)))
     results = {}
     for name, body in [("e2e", body_e2e), ("fwd_only", body_fwd),
                        ("fwd_nomask", body_fwd_nomask), ("vox", body_vox)]:
         run = scanner(body)
-        ms = _timed(run, (variables, pts, num, eye), n_iter, reps)
+        ms = _measure(h, name, run, (variables, pts, num, eye), n_iter, reps)
         results[name] = round(ms, 4)
         print(json.dumps({"variant": name, "ms_per_cloud": results[name]}))
+    # DCE-subset structural orderings: a subset graph cannot be slower
+    h.expect_subset("fwd_only", "e2e")
+    h.expect_subset("fwd_nomask", "fwd_only")
+    h.expect_subset("vox", "fwd_nomask")
 
     # --- RPN share: canvas -> heads alone (megakernel upper bound) ------
     from pillars_tpu.models.rpn import RPN as _RPN
@@ -134,7 +128,8 @@ def main():
             return acc2
         return jax.lax.fori_loop(0, iters, outer, 0.0)
 
-    ms = _timed(run_rpn, (rpn_vars, canvas_bank), n_iter, reps)
+    ms = _measure(h, "rpn_alone", run_rpn, (rpn_vars, canvas_bank),
+                  n_iter, reps)
     results["rpn_alone"] = round(ms, 4)
     print(json.dumps({"variant": "rpn_alone", "ms_per_cloud": results["rpn_alone"]}))
 
@@ -152,14 +147,16 @@ def main():
         return jnp.sum(out.scores) + jnp.sum(out.boxes_lidar[..., 0])
 
     run = scanner(body_e2e_bf16io)
-    ms = _timed(run, (variables, bank_bf16, num, eye), n_iter, reps)
+    ms = _measure(h, "e2e_bf16_io", run, (variables, bank_bf16, num, eye),
+                  n_iter, reps)
     results["e2e_bf16_io"] = round(ms, 4)
     print(json.dumps({"variant": "e2e_bf16_io",
                       "ms_per_cloud": results["e2e_bf16_io"]}))
 
     # --- lever: donation of the bank buffer -----------------------------
     run_d = jax.jit(scanner(body_e2e).__wrapped__, donate_argnums=(1,))
-    ms = _timed(run_d, (variables, pts, num, eye), n_iter, reps)
+    ms = _measure(h, "e2e_donated_bank", run_d, (variables, pts, num, eye),
+                  n_iter, reps)
     results["e2e_donated_bank"] = round(ms, 4)
     print(json.dumps({"variant": "e2e_donated_bank",
                       "ms_per_cloud": results["e2e_donated_bank"]}))
@@ -173,6 +170,9 @@ def main():
         "rpn_megakernel_cap": results["rpn_alone"],
     }
     print(json.dumps({"shares": shares}))
+    # PASS/REJECT with evidence; nonzero exit on pollution so a burned
+    # session can never be mistaken for data (VERDICT r4 #3)
+    h.verdict(strict=True, label="d435i_levers")
 
 
 if __name__ == "__main__":

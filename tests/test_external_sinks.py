@@ -56,20 +56,21 @@ class TestWandbSink:
         logger.log_train_step(10, 3, m)
         step, metrics = fake.log_calls[-1]
         assert step == 10
-        # reference key names, including the 'loss_locatization' typo
-        # (train_helper_functions.py:6-14)
-        assert metrics == {"loss_locatization": 1.5,
-                           "loss_classification": 0.5,
-                           "loss_direction": 0.25, "loss": 2.25,
-                           "learning_rate": 2e-3, "epoch": 3.0}
+        # reference key names (train_helper_functions.py:6-14)
+        assert metrics == {"loc_loss_reduced": 1.5,
+                           "cls_loss_reduced": 0.5,
+                           "dir_loss_reduced": 0.25, "loss": 2.25,
+                           "learning_rate": 2e-3, "epochs": 3.0}
 
         ap = np.arange(6, dtype=np.float64).reshape(1, 1, 6)
         logger.log_eval(11, ap, ap * 2, ap * 3, score=42.0)
         step, metrics = fake.log_calls[-1]
         assert step == 11
         assert metrics["ev_3d_50"] == 0.0 and metrics["ev_3d_75"] == 5.0
-        assert metrics["ev_aos_60"] == 4.0 and metrics["ev_bev_70"] == 12.0
-        assert metrics["ev_average"] == 42.0
+        # BEV keys use the reference's 70-95 labels (its BEV IoU ladder)
+        assert metrics["ev_aos_60"] == 4.0 and metrics["ev_bev_70"] == 0.0
+        assert metrics["ev_bev_95"] == 15.0
+        assert metrics["avg"] == 42.0
         # CSV sink ran alongside wandb
         assert (tmp_path / "metrics.csv").exists()
 

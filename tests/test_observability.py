@@ -28,12 +28,16 @@ class TestMetricLogger:
         log.log_eval(20, [ [mAP[0][0]] ], [ [mAP[0][0]] ], [ [mAP[0][0]] ],
                      score=42.0)
         rows = list(csv.DictReader(open(tmp_path / "metrics.csv")))
-        assert rows[0]["loss_locatization"] == "1.5"  # [sic], reference name
+        # reference wandb key names (train_helper_functions.py:6-40)
+        assert rows[0]["loc_loss_reduced"] == "1.5"
         assert rows[0]["loss"] == "2.25"
         ev = rows[-1]
         assert float(ev["ev_3d_50"]) == 0.0
         assert float(ev["ev_3d_75"]) == 50.0
-        assert float(ev["ev_average"]) == 42.0
+        # BEV columns are labeled by the reference's BEV ladder 70-95
+        assert float(ev["ev_bev_70"]) == 0.0
+        assert float(ev["ev_bev_95"]) == 50.0
+        assert float(ev["avg"]) == 42.0
 
 
 class TestStageTimer:
