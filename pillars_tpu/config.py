@@ -190,6 +190,12 @@ class RPNConfig:
     # the concat is pure HBM traffic and costs ~1 ms at KITTI scale —
     # scripts/probe_rpn_tail_variants.py)
     no_concat_heads: bool = True
+    # focal-loss prior init for the cls head bias (RetinaNet sec. 4.1,
+    # b = -log((1-pi)/pi)): background scores start at ~pi instead of
+    # ~0.5, skipping the background sweep that keeps AP pinned at 0 for
+    # tens of epochs at large anchor counts. None = reference behavior
+    # (zero bias). Set to e.g. 0.01 for KITTI-scale anchor sets.
+    cls_bias_prior: Optional[float] = None
     # lower the depthwise stage of each separable conv as k*k shifted
     # multiply-adds (models/layers.py::depthwise_shift_add) instead of a
     # grouped conv — same params/math, candidate fast path for the

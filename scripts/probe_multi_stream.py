@@ -50,6 +50,22 @@ def main():
     det = PillarsDetector(cfg)
 
     print(f"device: {jax.devices()[0].device_kind}")
+    # Relay RTT context row (VERDICT r4 #7): the sync baseline the honest
+    # clock subtracts drifts across sessions (102.3 vs 54.2 Hz same-protocol
+    # single-stream readings, PERFORMANCE.md) — recording it alongside the
+    # stream rows makes the table interpretable when the relay moves.
+    import time as _time
+
+    from pillars_tpu.utils.probe_harness import jax_sync_fn
+
+    _sync = jax_sync_fn()
+    rtts = []
+    for _ in range(5):
+        t0 = _time.perf_counter()
+        _sync()
+        rtts.append((_time.perf_counter() - t0) * 1e3)
+    print(json.dumps({"relay_rtt_ms_min": round(min(rtts), 2),
+                      "relay_rtt_ms_med": round(sorted(rtts)[2], 2)}))
     rng = np.random.RandomState(0)
     banks = {}
     for s in range(max(int(x) for x in args.streams.split(","))):
