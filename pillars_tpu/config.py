@@ -345,6 +345,12 @@ class InputReaderConfig:
     # graph. Used by the in-train Evaluator and `pillars-tpu evaluate`
     # (CLI --buckets overrides).
     buckets: Optional[str] = None
+    # AdaBN-style BatchNorm recalibration before eval (train/bn_recal.py):
+    # refresh running stats with K unaugmented-scene forward passes so the
+    # eval normalization matches the eval distribution instead of the
+    # augmented+sampler-pasted train distribution. 0 = off (reference
+    # behavior). Only meaningful on eval_input.
+    bn_recal_batches: int = 0
 
 
 @dataclass

@@ -3,6 +3,9 @@
 bench.py methodology: N steps inside one jitted scan over a batch bank,
 device_get-forced, sync baseline subtracted. The step reuses state across
 iterations (carry), so optimizer/BN updates execute every iteration.
+Measurements run under utils/probe_harness.ProbeHarness (VERDICT r4 #3):
+the sync baseline is re-measured after the timed run and the script exits
+nonzero on contention drift, so a polluted reading cannot be recorded.
 
 Usage: PYTHONPATH=/root/.axon_site:. JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache \
        python scripts/probe_kitti_train.py
@@ -76,18 +79,10 @@ def main():
         gt_valid=jnp.ones((NB, B, g), bool),
     )
 
-    @jax.jit
-    def base(x):
-        return jnp.sum(x["points"][0, 0, 0])
+    from pillars_tpu.utils.probe_harness import ProbeHarness, jax_sync_fn
 
-    _ = jax.device_get(base(bank))
-    syncs = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _ = jax.device_get(base(bank))
-        syncs.append(time.perf_counter() - t0)
-    sync = min(syncs)
-    print(f"sync baseline {sync*1e3:.1f} ms; npts={n} B={B}", flush=True)
+    h = ProbeHarness(jax_sync_fn(bank["points"]))
+    print(f"npts={n} B={B}", flush=True)
 
     @jax.jit
     def run(state, bank, reps):
@@ -104,14 +99,15 @@ def main():
     out = run(state, bank, 1)
     _ = jax.device_get(out.step)
     compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    out = run(state, bank, args.iters)
-    _ = jax.device_get(jnp.sum(out.params["rpn"]["conv_box"]["bias"]))
-    total = time.perf_counter() - t0
-    ms = (total - sync) * 1e3 / (NB * args.iters)
+    ms = h.measure(
+        f"train_step_B{B}",
+        lambda: jax.device_get(jnp.sum(
+            run(state, bank, args.iters).params["rpn"]["conv_box"]["bias"])),
+        NB * args.iters)
     print(f"train step B={B}: {ms:.2f} ms/step "
           f"({B * 1000.0 / ms:.1f} samples/s)  compile {compile_s:.1f}s",
           flush=True)
+    h.verdict(strict=True, label=f"kitti_train_B{B}")
 
 
 if __name__ == "__main__":
