@@ -78,3 +78,42 @@ class TestDatasetEndToEnd:
         assert n_gt >= 1
         cls = item["gt_classes"][:n_gt]
         assert set(np.unique(cls)) <= {1, 2, 3}
+
+
+class TestStoredPointOrder:
+    def test_written_clouds_are_sweep_interleaved(self, tmp_path):
+        """Stored pointclouds must not be background-then-objects BLOCK
+        ordered: the voxelizer's first-come-first-kept max_voxels cap (a
+        load-bearing reference quirk, load_data.py:631-640) exhausts on a
+        45k-point background block before any object point and silently
+        drops every object at (unshuffled) eval time — measured 0% of GT
+        reachable vs 98% on shuffled inputs with the same checkpoint
+        (round-5, scripts/diag_train_eval_gap.py). The writer therefore
+        emits points in randomized order like a real sweep's azimuth
+        interleave."""
+        import pickle
+
+        from pillars_tpu.geometry import np_boxes as nb
+
+        root = str(tmp_path / "ord")
+        synthetic.generate_dataset(root, num_train=1, num_test=0, seed=3,
+                                   profile="kitti3")
+        pts = np.asarray(pickle.load(
+            open(f"{root}/training/velodyne/000000.pkl", "rb")))
+        infos = pickle.load(open(f"{root}/kitti_infos_train.pkl", "rb"))
+        an = infos[0]["annos"]
+        boxes = np.concatenate(
+            [an["location"], an["dimensions"],
+             an["rotation_y"][:, None]], axis=1).astype(np.float32)
+        boxes = nb.box_camera_to_lidar(
+            boxes, np.eye(4, dtype=np.float32),
+            np.asarray(synthetic.VELO2CAM, np.float32))
+        inside = nb.points_in_rbbox(pts[:, :3], boxes).any(axis=1)
+        assert inside.sum() > 50
+        # object points' ranks must be spread over the file, not stacked
+        # at the end: mean normalized rank well inside (0.3, 0.7)
+        ranks = np.nonzero(inside)[0] / len(pts)
+        assert 0.3 < float(ranks.mean()) < 0.7
+        # and a healthy share must appear in the FIRST third (the region
+        # the voxel cap is guaranteed to consume)
+        assert (ranks < 1 / 3).mean() > 0.15
