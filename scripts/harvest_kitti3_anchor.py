@@ -3,9 +3,10 @@
 Copies the best-epoch artifacts (the hard_synth anchor treatment,
 benchmarks/hard_synth/README.md) from a live/finished run dir:
   - model_result_{epoch}.txt  (6-threshold BEV/3D/AOS matrix, 3 classes)
-  - weights_wip.pkl           (full TrainState checkpoint — the name the
-                               benchmarks/kitti3_synth README's resume
-                               runbook references)
+  - weights_{epoch}.pkl       (full TrainState checkpoint; a temp-
+                               fallback harvest of an unconverged run is
+                               named weights_wip.pkl instead, the name
+                               the README's resume runbook references)
 and the archived train.yaml + metrics.csv, then prints the harvested
 result matrix.
 
@@ -55,6 +56,8 @@ def main():
     dest = sys.argv[2] if len(sys.argv) > 2 else "benchmarks/kitti3_synth"
 
     ckpt, epoch = pick_checkpoint(run)
+    out_name = ("weights_wip.pkl" if ckpt.endswith("weights_temp.pkl")
+                else f"weights_{epoch}.pkl")
     result = os.path.join(run, "results", f"model_result_{epoch}.txt")
     if not os.path.exists(result):
         # temp checkpoints are written BEFORE the epoch's eval; if the run
@@ -70,7 +73,7 @@ def main():
 
     os.makedirs(dest, exist_ok=True)
     shutil.copy(result, os.path.join(dest, os.path.basename(result)))
-    shutil.copy(ckpt, os.path.join(dest, "weights_wip.pkl"))
+    shutil.copy(ckpt, os.path.join(dest, out_name))
     shutil.copy(os.path.join(run, "train.yaml"),
                 os.path.join(dest, "train.yaml"))
     csvs = glob.glob(os.path.join(run, "logs", "*.csv"))
