@@ -37,9 +37,11 @@ def main():
     # bf16-STORED-activations with f32 compute/params/grads (rpn.remat_bf16)
     # — distinct from --bf16, which flips the compute dtype wholesale
     ap.add_argument("--remat-bf16", action="store_true")
+    ap.add_argument("--config", default="configs/kitti_3class.yaml",
+                    help="any trainable config, e.g. the SECOND sparse one")
     args = ap.parse_args()
 
-    cfg = Config.from_yaml("configs/kitti_3class.yaml")
+    cfg = Config.from_yaml(args.config)
     if args.bf16:
         cfg = cfg.override("runtime.compute_dtype", "bfloat16")
     if args.remat:
@@ -59,16 +61,20 @@ def main():
 
     rng = np.random.RandomState(0)
     NB = 2
-    pts = np.zeros((NB, B, maxpts, 4), np.float32)
+    nf = cfg.model.num_point_features
+    pcr = cfg.model.voxel.point_cloud_range
+    n = min(n, maxpts)
+    pts = np.zeros((NB, B, maxpts, nf), np.float32)
     for c in range(NB):
         for b in range(B):
-            pts[c, b, :n, 0] = rng.uniform(0.0, 69.1, n)
-            pts[c, b, :n, 1] = rng.uniform(-39.6, 39.6, n)
-            pts[c, b, :n, 2] = rng.uniform(-3.0, 1.0, n)
-            pts[c, b, :n, 3] = rng.uniform(0.0, 1.0, n)
+            pts[c, b, :n, 0] = rng.uniform(pcr[0], pcr[3], n)
+            pts[c, b, :n, 1] = rng.uniform(pcr[1], pcr[4], n)
+            pts[c, b, :n, 2] = rng.uniform(pcr[2], pcr[5], n)
+            if nf > 3:
+                pts[c, b, :n, 3] = rng.uniform(0.0, 1.0, n)
     gt = np.zeros((NB, B, g, 7), np.float32)
-    gt[..., 0] = rng.uniform(5, 60, (NB, B, g))
-    gt[..., 1] = rng.uniform(-30, 30, (NB, B, g))
+    gt[..., 0] = rng.uniform(pcr[0] + 2, pcr[3] - 2, (NB, B, g))
+    gt[..., 1] = rng.uniform(pcr[1] + 1, pcr[4] - 1, (NB, B, g))
     gt[..., 2] = -1.0
     gt[..., 3:6] = [1.6, 3.9, 1.56]
     bank = dict(
