@@ -52,7 +52,14 @@ class VoxelConfig:
     # Size it to your sensor: a d435i cloud after the reference's own 1::4
     # subsampling is <= 19200 points (+ sampled objects); the sort over this
     # axis is the voxelizer's dominant cost, so don't over-provision.
-    max_points: int = 32768
+    # static padded cloud width. The d435i production cloud is a FIXED
+    # 19200 points (640x480 depth subsampled 1::4, reference
+    # realsense_make_dataset.py:395-412), so 19968 = 156 * 128 lanes is
+    # the correct static width — the voxelizer's sort/scan passes scale
+    # with this, and the previous 32768 headroom cost ~0.35 ms/cloud of
+    # pure padding work at B=1 (width A/B 2026-08-21: 0.89 vs 1.25
+    # ms/cloud e2e). Larger sensors set it per config (KITTI: 131072).
+    max_points: int = 19968
 
     @property
     def grid_size(self) -> Tuple[int, int, int]:
